@@ -1,0 +1,154 @@
+"""Static-shape greedy non-maximum suppression for TPU.
+
+The reference relies on ``tf.image.non_max_suppression`` with variable-length
+outputs (reference: luminoth/models/fasterrcnn/rpn_proposal.py:145-171,
+rcnn_proposal.py:77-135, ssd/proposal.py). Variable shapes don't compile under
+XLA, so this module implements greedy NMS with **fixed-size padded outputs**:
+
+* Candidates are sorted by score (descending, stable).
+* Suppression runs in score-sorted blocks of ``block_size``: within a block an
+  iterative fixpoint resolves the greedy recursion ("a box survives iff no
+  higher-scored *surviving* box overlaps it above the threshold"); then the
+  block's survivors suppress all later candidates in one dense
+  (block × N) IoU pass. This keeps the sequential depth at ``N / block_size``
+  tiles instead of one step per box, and memory at O(block · N) instead of
+  O(N²) — the same partitioned scheme TPU TF uses for its padded NMS.
+* The result is exactly greedy-NMS-equivalent (verified against a numpy
+  golden implementation in tests).
+
+Per-class NMS is just ``jax.vmap`` over a leading class axis — replacing the
+reference's per-class python loop (rcnn_proposal.py:77-135).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from luminoth_tpu.ops.boxes import iou_matrix
+
+NEG_INF = jnp.float32(-1e37)
+
+
+def _self_suppression(iou_mask, alive0):
+    """Resolve greedy suppression within one block.
+
+    Args:
+        iou_mask: (T, T) bool, ``iou > threshold`` strictly-upper-triangular
+            (row suppresses column; row index = higher score).
+        alive0: (T,) bool, which block entries are still candidates.
+
+    Returns:
+        (T,) bool of block survivors under exact greedy semantics.
+    """
+
+    def cond(state):
+        alive, changed = state
+        return changed
+
+    def body(state):
+        alive, _ = state
+        # A box dies iff any alive earlier box suppresses it.
+        killed = jnp.any(iou_mask & alive[:, None], axis=0)
+        new_alive = alive0 & ~killed
+        return new_alive, jnp.any(new_alive != alive)
+
+    alive, _ = jax.lax.while_loop(cond, body, (alive0, jnp.bool_(True)))
+    return alive
+
+
+@partial(jax.jit, static_argnames=("max_outputs", "block_size"))
+def nms_padded(boxes, scores, iou_threshold, max_outputs, valid=None, block_size=128):
+    """Greedy NMS over a fixed-size candidate set.
+
+    Args:
+        boxes: (N, 4) xyxy boxes (padding rows arbitrary).
+        scores: (N,) scores; padding entries should carry very low scores, or
+            pass ``valid`` explicitly.
+        iou_threshold: suppression threshold (strictly greater suppresses).
+        max_outputs: static number of survivors to emit.
+        valid: optional (N,) bool mask of real candidates.
+        block_size: tile size of the partitioned suppression sweep.
+
+    Returns:
+        ``(indices, keep_mask)``: (max_outputs,) indices into the input arrays
+        in descending-score order, and a bool mask of which outputs are real
+        (un-suppressed, valid) detections. Indices of masked-out slots point
+        at arbitrary rows and must not be used.
+    """
+    n = boxes.shape[0]
+    scores = scores.astype(jnp.float32)
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+
+    masked_scores = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-masked_scores, stable=True)
+    boxes_s = boxes[order]
+    valid_s = valid[order]
+
+    block = min(block_size, n)
+    num_blocks = -(-n // block)
+    pad = num_blocks * block - n
+    if pad:
+        boxes_s = jnp.pad(boxes_s, ((0, pad), (0, 0)))
+        valid_s = jnp.pad(valid_s, (0, pad))
+
+    n_padded = num_blocks * block
+    col_idx = jnp.arange(n_padded)
+    tri = jnp.triu(jnp.ones((block, block), dtype=bool), k=1)
+
+    def tile_step(i, alive):
+        start = i * block
+        tile_boxes = jax.lax.dynamic_slice(boxes_s, (start, 0), (block, 4))
+        tile_alive = jax.lax.dynamic_slice(alive, (start,), (block,))
+
+        # Within-tile greedy fixpoint.
+        tile_iou = iou_matrix(tile_boxes, tile_boxes)
+        tile_mask = (tile_iou > iou_threshold) & tri
+        tile_alive = _self_suppression(tile_mask, tile_alive)
+
+        # Tile survivors suppress every later candidate.
+        cross_iou = iou_matrix(tile_boxes, boxes_s)  # (block, n_padded)
+        suppress = jnp.any(
+            (cross_iou > iou_threshold) & tile_alive[:, None], axis=0
+        )
+        later = col_idx >= start + block
+        alive = alive & ~(suppress & later)
+        alive = jax.lax.dynamic_update_slice(alive, tile_alive, (start,))
+        return alive
+
+    alive = jax.lax.fori_loop(0, num_blocks, tile_step, valid_s)
+    alive = alive[:n]
+
+    # Survivors in score order: top max_outputs alive entries.
+    alive_scores = jnp.where(alive, masked_scores[order[:n]], NEG_INF)
+    top_scores, top_pos = jax.lax.top_k(alive_scores, min(max_outputs, n))
+    keep_mask = top_scores > NEG_INF
+    indices = order[top_pos]
+
+    if max_outputs > n:
+        extra = max_outputs - n
+        indices = jnp.pad(indices, (0, extra))
+        keep_mask = jnp.pad(keep_mask, (0, extra))
+    return indices, keep_mask
+
+
+def nms_per_class(boxes, scores, iou_threshold, max_per_class, valid=None):
+    """vmapped per-class NMS.
+
+    Args:
+        boxes: (C, N, 4) per-class decoded boxes.
+        scores: (C, N) per-class scores.
+        valid: optional (C, N) bool.
+
+    Returns:
+        ``(indices, keep_mask)`` with shapes (C, max_per_class).
+    """
+    if valid is None:
+        valid = jnp.ones(scores.shape, dtype=bool)
+    fn = jax.vmap(
+        lambda b, s, v: nms_padded(
+            b, s, iou_threshold, max_per_class, valid=v
+        )
+    )
+    return fn(boxes, scores, valid)
