@@ -1,0 +1,97 @@
+"""SSD anchor target assignment with online hard negative mining.
+
+reference: luminoth/models/ssd/target.py:35-200. Static-shape redesign:
+
+* Labels live in a dense (A,) array: -1 = ignore, 0 = background (selected by
+  hard mining), 1..C = foreground class. No boolean_mask — the loss consumes
+  label masks instead.
+* The dynamic ``top_k(k=3*num_fg)`` hard-negative selection becomes a rank
+  computation: argsort-of-argsort gives each candidate background its rank by
+  "worst background" score, and ``rank < 3*num_fg`` selects — identical
+  semantics with static shapes.
+* Ground truth arrives padded: (G, 5) with label < 0 marking padding rows.
+"""
+
+import jax.numpy as jnp
+
+from luminoth_tpu.ops.boxes import encode, iou_matrix
+
+
+def ssd_target_assign(
+    probs,
+    all_anchors,
+    gt_boxes,
+    num_classes,
+    foreground_threshold,
+    background_threshold_high,
+    hard_negative_ratio,
+    variances,
+):
+    """Assign class and box-regression targets to every anchor.
+
+    Args:
+        probs: (A, C+1) predicted softmax probabilities (for hard mining).
+        all_anchors: (A, 4) anchors in image coordinates.
+        gt_boxes: (G, 5) padded ground truth ``(x1, y1, x2, y2, label)``;
+            padding rows must have label < 0.
+        num_classes: number of foreground classes C.
+        foreground_threshold: IoU at/above which an anchor is foreground.
+        background_threshold_high: max IoU with any GT for an anchor to be a
+            hard-negative candidate.
+        hard_negative_ratio: backgrounds per foreground to keep.
+        variances: (center, size) target normalization variances.
+
+    Returns:
+        ``(class_targets, bbox_offsets_targets)``: (A,) float labels
+        (-1/0/1..C) and (A, 4) encoded offsets (zeros for non-foreground).
+    """
+    anchors = all_anchors.astype(jnp.float32)
+    gt = gt_boxes.astype(jnp.float32)
+    num_anchors = anchors.shape[0]
+
+    gt_valid = gt[:, 4] >= 0  # (G,)
+    overlaps = iou_matrix(anchors, gt[:, :4])  # (A, G)
+    overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
+
+    max_overlaps = jnp.max(overlaps, axis=1)
+    best_gt_for_anchor = jnp.argmax(overlaps, axis=1)  # (A,)
+
+    anchors_label = jnp.full((num_anchors,), -1.0)
+
+    # Foreground by IoU threshold.
+    best_fg_labels = gt[:, 4][best_gt_for_anchor] + 1.0
+    iou_is_fg = max_overlaps >= foreground_threshold
+    anchors_label = jnp.where(iou_is_fg, best_fg_labels, anchors_label)
+
+    # Best-anchor-per-gt override (highest priority). Guard against anchors
+    # "best" for padded gt rows via the validity mask.
+    best_anchor_for_gt = jnp.argmax(
+        jnp.where(gt_valid[None, :], iou_matrix(anchors, gt[:, :4]), -1.0), axis=0
+    )  # (G,)
+    anchors_label = anchors_label.at[best_anchor_for_gt].set(
+        jnp.where(gt_valid, gt[:, 4] + 1.0, anchors_label[best_anchor_for_gt])
+    )
+
+    # Online hard negative mining: strongest-scoring backgrounds first.
+    max_cls_probs = jnp.max(probs[:, 1:], axis=1)
+    bg_candidate = (max_overlaps <= background_threshold_high) & (
+        anchors_label <= 0
+    )
+    mining_scores = jnp.where(bg_candidate, max_cls_probs, -1.0)
+
+    num_fg = jnp.sum(anchors_label > 0)
+    num_bg = (num_fg.astype(jnp.float32) * hard_negative_ratio).astype(jnp.int32)
+
+    order = jnp.argsort(-mining_scores, stable=True)
+    ranks = jnp.argsort(order, stable=True)  # rank of each anchor by score
+    set_bg = (ranks < num_bg) & (mining_scores > -1.0)
+    anchors_label = jnp.where(set_bg, 0.0, anchors_label)
+
+    # Box targets for foreground anchors only.
+    matched_gt = gt[:, :4][best_gt_for_anchor]  # (A, 4)
+    bbox_targets = encode(anchors, matched_gt, variances=variances)
+    bbox_targets = jnp.where(
+        (anchors_label > 0)[:, None], bbox_targets, 0.0
+    )
+
+    return anchors_label, bbox_targets

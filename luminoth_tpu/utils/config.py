@@ -17,6 +17,7 @@ reference's ``EasyDict``.
 
 import inspect
 import os
+from collections.abc import Mapping
 
 import yaml
 
@@ -36,7 +37,7 @@ class Config(dict):
     def _wrap(value):
         if isinstance(value, Config):
             return value
-        if isinstance(value, dict):
+        if isinstance(value, Mapping):
             return Config(value)
         if isinstance(value, (list, tuple)):
             return type(value)(Config._wrap(v) for v in value)

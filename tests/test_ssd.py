@@ -1,0 +1,215 @@
+"""SSD tests: anchors, target assignment, proposal, end-to-end smoke.
+
+Coverage mirrors the reference's test strategy for its model modules (the
+reference ships no SSD tests — this adds them): scenario-driven target
+assignment, NMS filtering, and a full forward+loss smoke test.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from luminoth_tpu.models.ssd.anchors import generate_ssd_anchors
+from luminoth_tpu.models.ssd.proposal import ssd_proposal
+from luminoth_tpu.models.ssd.target import ssd_target_assign
+from luminoth_tpu.utils.config import Config, get_base_config, get_model_config
+
+
+def _gt(rows):
+    return jnp.asarray(rows, dtype=jnp.float32)
+
+
+class TestSSDTarget:
+    ANCHORS = jnp.asarray(
+        [
+            [0, 0, 99, 99],
+            [100, 100, 199, 199],
+            [0, 0, 9, 9],
+            [200, 200, 250, 250],
+        ],
+        dtype=jnp.float32,
+    )
+
+    def _assign(self, probs, gt, **overrides):
+        kwargs = dict(
+            num_classes=3,
+            foreground_threshold=0.5,
+            background_threshold_high=0.2,
+            hard_negative_ratio=3.0,
+            variances=(0.1, 0.2),
+        )
+        kwargs.update(overrides)
+        return ssd_target_assign(probs, self.ANCHORS, gt, **kwargs)
+
+    def test_foreground_by_iou(self):
+        probs = jnp.full((4, 4), 0.25)
+        gt = _gt([[0, 0, 99, 99, 1]])
+        labels, targets = self._assign(probs, gt)
+        assert labels[0] == 2.0  # class 1 → label 2
+        # Perfect match → zero offsets.
+        np.testing.assert_allclose(np.asarray(targets[0]), 0.0, atol=1e-5)
+
+    def test_best_anchor_per_gt_override(self):
+        probs = jnp.full((4, 4), 0.25)
+        # Small gt box with IoU < 0.5 against every anchor: still gets its
+        # best anchor labeled.
+        gt = _gt([[0, 0, 30, 30, 0]])
+        labels, _ = self._assign(probs, gt)
+        assert labels[0] == 1.0 or labels[2] == 1.0
+        assert jnp.sum(labels > 0) == 1
+
+    def test_hard_negative_ratio(self):
+        # One fg → up to 3 bg; rest ignored (-1).
+        probs = jnp.asarray(
+            [
+                [0.1, 0.9, 0.0, 0.0],
+                [0.2, 0.8, 0.0, 0.0],
+                [0.3, 0.7, 0.0, 0.0],
+                [0.9, 0.1, 0.0, 0.0],
+            ]
+        )
+        gt = _gt([[0, 0, 99, 99, 1]])
+        labels, _ = self._assign(probs, gt)
+        assert labels[0] == 2.0
+        n_bg = int(jnp.sum(labels == 0.0))
+        assert n_bg == 3
+
+    def test_padded_gt_ignored(self):
+        probs = jnp.full((4, 4), 0.25)
+        gt = _gt([[0, 0, 99, 99, 1], [0, 0, 0, 0, -1], [0, 0, 0, 0, -1]])
+        labels, _ = self._assign(probs, gt)
+        assert labels[0] == 2.0
+        # The padding rows must not label their "best" anchors.
+        assert int(jnp.sum(labels > 0)) == 1
+
+    def test_no_gt(self):
+        probs = jnp.full((4, 4), 0.25)
+        gt = _gt([[0, 0, 0, 0, -1]])
+        labels, targets = self._assign(probs, gt)
+        assert int(jnp.sum(labels > 0)) == 0
+        np.testing.assert_allclose(np.asarray(targets), 0.0, atol=1e-6)
+
+
+class TestSSDProposal:
+    def test_basic_and_min_prob(self):
+        anchors = jnp.asarray(
+            [[10, 10, 60, 60], [12, 12, 62, 62], [100, 100, 180, 180]],
+            dtype=jnp.float32,
+        )
+        # Identity offsets; class 0 confident on anchors 0/1, class 1 on 2.
+        loc_pred = jnp.zeros((3, 4))
+        cls_prob = jnp.asarray(
+            [[0.1, 0.8, 0.1], [0.2, 0.7, 0.1], [0.05, 0.05, 0.9]]
+        )
+        out = ssd_proposal(
+            cls_prob,
+            loc_pred,
+            anchors,
+            jnp.asarray([200.0, 200.0]),
+            num_classes=2,
+            class_nms_threshold=0.5,
+            class_max_detections=5,
+            total_max_detections=6,
+            min_prob_threshold=0.5,
+            variances=(0.1, 0.2),
+            pre_nms_max_candidates=3,
+        )
+        valid = np.asarray(out["valid"])
+        labels = np.asarray(out["labels"])[valid]
+        probs = np.asarray(out["probs"])[valid]
+        # Anchor 1 suppressed by NMS (IoU > 0.5 with anchor 0).
+        assert valid.sum() == 2
+        assert set(labels.tolist()) == {0, 1}
+        assert probs.max() <= 1.0
+        # Highest prob first.
+        assert probs[0] >= probs[-1]
+
+    def test_decode_applied(self):
+        anchors = jnp.asarray([[10, 10, 59, 59]], dtype=jnp.float32)
+        # Positive dx shifts the box right.
+        loc_pred = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+        cls_prob = jnp.asarray([[0.1, 0.9]])
+        out = ssd_proposal(
+            cls_prob,
+            loc_pred,
+            anchors,
+            jnp.asarray([300.0, 300.0]),
+            num_classes=1,
+            class_nms_threshold=0.5,
+            class_max_detections=2,
+            total_max_detections=2,
+            min_prob_threshold=0.0,
+            variances=(1.0, 1.0),
+            pre_nms_max_candidates=1,
+        )
+        box = np.asarray(out["objects"])[0]
+        assert box[0] > 10  # shifted right
+
+
+class TestSSDModel:
+    @pytest.fixture(scope="class")
+    def config(self):
+        from luminoth_tpu.models.ssd import SSD
+
+        cfg = get_model_config(get_base_config(SSD), Config({}), [])
+        cfg.model.network.num_classes = 3
+        return cfg
+
+    def test_forward_train_and_loss(self, config):
+        from luminoth_tpu.models.ssd import SSD
+
+        model = SSD(config)
+        key = jax.random.PRNGKey(0)
+        images = jax.random.uniform(key, (1, 300, 300, 3)) * 255.0
+        gt = jnp.asarray(
+            [[[20, 20, 120, 120, 0], [150, 150, 250, 250, 2]]], jnp.float32
+        )
+        variables = model.init(key, images, gt_boxes=gt, train=True)
+        preds = model.apply(variables, images, gt_boxes=gt, train=True)
+
+        a_total = preds["anchors"].shape[0]
+        assert preds["cls_pred"].shape == (1, a_total, 4)
+        assert preds["loc_pred"].shape == (1, a_total, 4)
+        assert preds["target"]["cls"].shape == (1, a_total)
+        # 37²·4 + 18²·6 + 9²·6 + 5²·6 + 3²·4 + 1²·4
+        assert a_total == 37 * 37 * 4 + 18 * 18 * 6 + 81 * 6 + 25 * 6 + 9 * 4 + 4
+
+        loss = model.loss(preds)
+        assert np.isfinite(float(loss))
+        assert float(loss) > 0
+
+        all_losses = model.loss(preds, return_all=True)
+        assert set(all_losses) == {"total_loss", "cls_loss", "bbox_loss"}
+
+    def test_forward_inference(self, config):
+        from luminoth_tpu.models.ssd import SSD
+
+        model = SSD(config)
+        key = jax.random.PRNGKey(1)
+        images = jax.random.uniform(key, (2, 300, 300, 3)) * 255.0
+        variables = model.init(key, images, train=False)
+        preds = model.apply(variables, images, train=False)
+
+        cp = preds["classification_prediction"]
+        assert cp["objects"].shape == (2, 100, 4)
+        assert cp["labels"].shape == (2, 100)
+        assert cp["probs"].shape == (2, 100)
+        assert cp["valid"].shape == (2, 100)
+
+
+def test_anchor_generation_shapes():
+    fm_shapes = [(37, 37), (18, 18), (9, 9), (5, 5), (3, 3), (1, 1)]
+    anchors = generate_ssd_anchors(
+        fm_shapes, 0.1, 0.88, np.array([1, 0.5, 2, 0.333, 3]),
+        [4, 6, 6, 6, 4, 4], (300, 300),
+    )
+    expected = sum(h * w * a for (h, w), a in zip(fm_shapes, [4, 6, 6, 6, 4, 4]))
+    assert anchors.shape == (expected, 4)
+    assert anchors.min() >= 0
+    assert anchors[:, 0::2].max() <= 299
+    assert anchors[:, 1::2].max() <= 299
+    # Anchors grow with feature-map coarseness: first map's first anchor is
+    # small relative to the image.
+    w0 = anchors[0, 2] - anchors[0, 0]
+    assert w0 < 100
