@@ -1,0 +1,120 @@
+"""RCNN proposal target assignment + minibatch selection — static shapes.
+
+reference: luminoth/models/fasterrcnn/rcnn_target.py:48-299. Semantics kept:
+
+* background band: ``background_threshold_low <= IoU < high`` → label 0;
+* foreground at/above ``foreground_threshold`` → best gt's class + 1;
+* the single best proposal per gt is foreground regardless (priority);
+* random subsampling to ``minibatch_size`` with at most
+  ``foreground_fraction`` positives;
+* encode() targets with variances for positives only.
+
+Extra (TPU): proposals carry a ``valid`` mask (padded NMS output); invalid
+rows are always ignored. A second helper extracts a fixed-size minibatch
+index set so the ROI stage only computes the selected rows, replacing the
+reference's dynamic boolean_mask (rcnn.py:152-172).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from luminoth_tpu.ops.boxes import encode, iou_matrix
+from luminoth_tpu.models.fasterrcnn.rpn_target import _keep_random_quota
+
+
+def rcnn_target_assign(
+    proposals,
+    proposals_valid,
+    gt_boxes,
+    key,
+    foreground_threshold=0.5,
+    background_threshold_high=0.5,
+    background_threshold_low=0.0,
+    foreground_fraction=0.25,
+    minibatch_size=256,
+    variances=(0.1, 0.2),
+):
+    """Label RPN proposals against ground truth for one image.
+
+    Args:
+        proposals: (P, 4) padded proposals.
+        proposals_valid: (P,) bool mask of real proposals.
+        gt_boxes: (G, 5) padded ground truth (label < 0 = padding).
+        key: PRNG key for subsampling.
+
+    Returns:
+        ``(labels, bbox_targets)``: (P,) float labels (-1 ignore, 0 bg,
+        1..C fg) and (P, 4) encoded offsets (zeros unless fg).
+    """
+    props = proposals.astype(jnp.float32)
+    gt = gt_boxes.astype(jnp.float32)
+    num_proposals = props.shape[0]
+
+    gt_valid = gt[:, 4] >= 0
+    overlaps = iou_matrix(props, gt[:, :4])
+    overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
+    overlaps = jnp.where(proposals_valid[:, None], overlaps, -1.0)
+
+    max_overlaps = jnp.max(overlaps, axis=1)
+    best_gt_idx = jnp.argmax(overlaps, axis=1)
+
+    labels = jnp.full((num_proposals,), -1.0)
+
+    bg_cond = (
+        (max_overlaps >= background_threshold_low)
+        & (max_overlaps < background_threshold_high)
+        & proposals_valid
+    )
+    labels = jnp.where(bg_cond, 0.0, labels)
+
+    best_fg_labels = gt[:, 4][best_gt_idx] + 1.0
+    iou_is_fg = (max_overlaps >= foreground_threshold) & proposals_valid
+    labels = jnp.where(iou_is_fg, best_fg_labels, labels)
+
+    # The single best proposal for each gt gets its class (priority).
+    best_proposal_idx = jnp.argmax(overlaps, axis=0)  # (G,)
+    labels = labels.at[best_proposal_idx].set(
+        jnp.where(gt_valid, gt[:, 4] + 1.0, labels[best_proposal_idx])
+    )
+    is_best = (
+        jnp.zeros((num_proposals,), bool)
+        .at[best_proposal_idx]
+        .set(gt_valid, mode="drop")
+    )
+
+    # Subsample: at most max_fg positives, then fill with backgrounds.
+    fg_key, bg_key = jax.random.split(key)
+    max_fg = int(foreground_fraction * minibatch_size)
+    fg_cond = (iou_is_fg | is_best) & (labels > 0)
+    fg_kept = _keep_random_quota(fg_cond, max_fg, fg_key)
+    labels = jnp.where(fg_cond & ~fg_kept, -labels, labels)
+
+    total_fg = jnp.sum(labels > 0)
+    max_bg = minibatch_size - total_fg
+    bg_mask = labels == 0.0
+    bg_kept = _keep_random_quota(bg_mask, max_bg, bg_key)
+    labels = jnp.where(bg_mask & ~bg_kept, -1.0, labels)
+
+    matched_gt = gt[:, :4][best_gt_idx]
+    bbox_targets = encode(props, matched_gt, variances=variances)
+    bbox_targets = jnp.where((labels > 0)[:, None], bbox_targets, 0.0)
+
+    return labels, bbox_targets
+
+
+def select_minibatch(labels, minibatch_size):
+    """Fixed-size indices of the proposals kept for the ROI stage.
+
+    All label >= 0 rows (the subsampled minibatch, at most
+    ``minibatch_size``), padded with arbitrary indices + a mask.
+
+    Returns:
+        ``(indices, mask)``: (M,) int32 indices and (M,) bool validity.
+    """
+    selected = labels >= 0
+    # Stable order: selected first, preserving index order.
+    sort_key = jnp.where(selected, 0, 1)
+    order = jnp.argsort(sort_key, stable=True)
+    indices = order[:minibatch_size]
+    mask = selected[indices]
+    return indices.astype(jnp.int32), mask

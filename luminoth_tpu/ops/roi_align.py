@@ -81,9 +81,9 @@ def roi_crop_pool(feature_map, rois, im_shape, crop_size=14, pool=True):
     """
     h, w = im_shape[0], im_shape[1]
     x1, y1, x2, y2 = jnp.split(rois.astype(jnp.float32), 4, axis=-1)
-    # Normalize by (dim - 1) like the reference (roi_pool.py:37-66).
+    # Normalize by the image dims like the reference (roi_pool.py:55-66).
     boxes = jnp.concatenate(
-        [y1 / (h - 1.0), x1 / (w - 1.0), y2 / (h - 1.0), x2 / (w - 1.0)], axis=-1
+        [y1 / h, x1 / w, y2 / h, x2 / w], axis=-1
     )
     crops = crop_and_resize(feature_map, boxes, crop_size)
     if not pool:
