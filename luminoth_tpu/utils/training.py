@@ -1,0 +1,189 @@
+"""Optimizer / learning-rate-schedule factory on optax.
+
+reference: luminoth/utils/training.py:6-120 — same config surface
+(``train.optimizer`` kwargs-style dict, ``train.learning_rate`` with
+``decay_method``), built on optax so the optimizer state lives in the train
+state pytree and shards with it.
+"""
+
+import optax
+
+OPTIMIZERS = {"momentum", "adam", "gradient_descent", "rmsprop", "sgd"}
+
+
+def get_learning_rate(train_config):
+    """Build the LR schedule from ``train.learning_rate``.
+
+    Supported ``decay_method``: none/(empty), ``piecewise_constant``,
+    ``exponential_decay``, ``polynomial_decay``.
+    """
+    lr_config = dict(train_config.get("learning_rate") or {})
+    method = lr_config.pop("decay_method", None)
+
+    if not method or method == "none":
+        value = lr_config.get("learning_rate", lr_config.get("value", 0.0003))
+        return optax.constant_schedule(value)
+
+    if method == "piecewise_constant":
+        boundaries = [int(b) for b in lr_config["boundaries"]]
+        values = [float(v) for v in lr_config["values"]]
+        # optax expects {step: scale}; use absolute values via join.
+        schedules = [optax.constant_schedule(v) for v in values]
+        return optax.join_schedules(schedules, boundaries)
+
+    if method == "exponential_decay":
+        return optax.exponential_decay(
+            init_value=lr_config.get(
+                "learning_rate", lr_config.get("initial_learning_rate", 0.0003)
+            ),
+            transition_steps=int(lr_config.get("decay_steps", 100000)),
+            decay_rate=float(lr_config.get("decay_rate", 0.96)),
+            staircase=bool(lr_config.get("staircase", False)),
+        )
+
+    if method == "polynomial_decay":
+        init = lr_config.get(
+            "learning_rate", lr_config.get("initial_learning_rate", 0.0003)
+        )
+        return optax.polynomial_schedule(
+            init_value=init,
+            end_value=float(lr_config.get("end_learning_rate", 0.0001)),
+            power=float(lr_config.get("power", 1.0)),
+            transition_steps=int(lr_config.get("decay_steps", 100000)),
+        )
+
+    raise ValueError('Invalid learning_rate method "{}"'.format(method))
+
+
+def get_optimizer(train_config, trainable_mask=None, weight_decay=0.0,
+                  weight_decay_mask=None):
+    """Build the optax optimizer chain from ``train.optimizer``.
+
+    Args:
+        train_config: the ``train`` section of the config.
+        trainable_mask: optional pytree of bools — False entries get zero
+            updates (replaces the reference's trainable-variable collections,
+            e.g. ``fine_tune_from`` boundaries).
+        weight_decay: optional L2 coefficient (the reference's slim
+            regularizers, applied in the optimizer instead of the loss).
+        weight_decay_mask: pytree-of-bools / callable restricting decay to
+            kernel weights.
+
+    Returns:
+        ``(optax transformation, lr schedule)``.
+    """
+    opt_config = dict(train_config.get("optimizer") or {})
+    opt_type = opt_config.pop("type", "momentum")
+    if opt_type not in OPTIMIZERS:
+        raise ValueError('Invalid optimizer type "{}"'.format(opt_type))
+
+    schedule = get_learning_rate(train_config)
+
+    chain = []
+    if train_config.get("clip_by_norm"):
+        chain.append(optax.clip_by_global_norm(10.0))
+    if weight_decay:
+        chain.append(
+            optax.add_decayed_weights(weight_decay, mask=weight_decay_mask)
+        )
+
+    if opt_type == "momentum":
+        chain.append(
+            optax.sgd(schedule, momentum=opt_config.get("momentum", 0.9))
+        )
+    elif opt_type in ("gradient_descent", "sgd"):
+        chain.append(optax.sgd(schedule))
+    elif opt_type == "adam":
+        chain.append(
+            optax.adam(
+                schedule,
+                b1=opt_config.get("beta1", 0.9),
+                b2=opt_config.get("beta2", 0.999),
+                eps=opt_config.get("epsilon", 1e-8),
+            )
+        )
+    elif opt_type == "rmsprop":
+        chain.append(
+            optax.rmsprop(
+                schedule,
+                decay=opt_config.get("decay", 0.9),
+                momentum=opt_config.get("momentum", 0.0),
+                eps=opt_config.get("epsilon", 1e-10),
+            )
+        )
+
+    tx = optax.chain(*chain)
+    if trainable_mask is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            param_labels=lambda params: _mask_to_labels(
+                trainable_mask, params
+            ),
+        )
+    return tx, schedule
+
+
+def _mask_to_labels(mask, params):
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda m: "train" if m else "freeze", mask
+    )
+
+
+def build_trainable_mask(params, model_config):
+    """Pytree mask of trainable params from the reference's flags.
+
+    reference semantics (base_network.py:211-241,
+    truncated_base_network.py:97-144):
+    * ``base_network.trainable: False`` freezes the whole backbone;
+    * ``fine_tune_from: <endpoint>`` freezes everything up to (and
+      including) that endpoint in the backbone trunk;
+    * ``freeze_tail: True`` freezes the block4 tail.
+    """
+    import jax
+
+    cfg = model_config.get("base_network", {})
+    trainable = cfg.get("trainable", True)
+    fine_tune_from = cfg.get("fine_tune_from")
+    freeze_tail = cfg.get("freeze_tail", False)
+
+    # Order of resnet sub-scopes for the fine_tune_from boundary.
+    order = ["conv1", "block1", "block2", "block3", "block4"]
+
+    def path_trainable(path):
+        names = [getattr(p, "key", str(p)) for p in path]
+        in_backbone = "base_network" in names[0] and "tail" not in names[0]
+        in_tail = "tail" in names[0]
+        if in_tail:
+            return not freeze_tail
+        if not in_backbone:
+            return True
+        if not trainable:
+            return False
+        if fine_tune_from:
+            # Freeze everything up to and including fine_tune_from.
+            try:
+                boundary = order.index(fine_tune_from)
+            except ValueError:
+                return True
+            for name in names:
+                base = name.split("/")[0]
+                if base in order:
+                    return order.index(base) > boundary
+        return True
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: path_trainable(path), params
+    )
+
+
+def build_weight_decay_mask(params):
+    """Decay only kernel/weight matrices (not biases, scales, BN params)."""
+    import jax
+
+    def is_kernel(path, _):
+        last = getattr(path[-1], "key", str(path[-1]))
+        return last in ("kernel", "w")
+
+    return jax.tree_util.tree_map_with_path(is_kernel, params)
