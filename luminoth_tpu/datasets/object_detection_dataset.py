@@ -1,0 +1,267 @@
+"""Object-detection dataset: TFRecord loader with host-side preprocessing.
+
+reference: luminoth/datasets/object_detection_dataset.py (record schema
+:40-54, read_record :85-139, preprocess = augment→resize :71-83) and
+base_dataset.py (queue-runner input pipeline :43-76).
+
+TPU-first redesign:
+
+* The TF1 queue-runner graph pipeline becomes a host-side loader: records
+  are parsed with the TF-free codec, images decoded with cv2/PIL,
+  augmentation runs in numpy, and a background prefetch thread keeps a
+  small queue of ready batches while the accelerator trains (replacing
+  ``QueueRunner``/``Coordinator``).
+* Variable-size images are padded to a static canvas (SSD: the fixed input;
+  Faster R-CNN: the ``max_size`` square by default) and ground truth is
+  padded to ``max_gt_boxes`` rows with label -1 — XLA compiles one program
+  per canvas instead of one per image shape.
+
+Record schema (TF-compatible with reference-written datasets):
+context: image_raw/filename/width/height/depth; sequence lists:
+label, xmin, ymin, xmax, ymax (one int64 per gt box).
+"""
+
+import os
+import queue
+import threading
+
+import numpy as np
+
+from luminoth_tpu.datasets.exceptions import InvalidDataDirectory
+from luminoth_tpu.formats.example_pb import decode_sequence_example
+from luminoth_tpu.formats.tfrecord import find_split_files, read_tfrecords
+from luminoth_tpu.utils.image import (
+    apply_data_augmentation,
+    resize_image,
+    resize_image_fixed,
+)
+
+
+def decode_image_bytes(data):
+    """Decode JPEG/PNG bytes to an RGB float32 (H, W, 3) array."""
+    try:
+        import cv2
+
+        arr = np.frombuffer(data, dtype=np.uint8)
+        img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError("cv2 could not decode image")
+        return img[..., ::-1].astype(np.float32)  # BGR → RGB
+    except Exception:
+        import io
+
+        from PIL import Image
+
+        return np.asarray(
+            Image.open(io.BytesIO(data)).convert("RGB"), dtype=np.float32
+        )
+
+
+def parse_record(record_bytes):
+    """SequenceExample bytes → (image float32, bboxes (N, 5), filename)."""
+    context, lists = decode_sequence_example(record_bytes)
+    image = decode_image_bytes(context["image_raw"][0])
+    num = len(lists.get("label", []))
+    bboxes = np.zeros((num, 5), dtype=np.float32)
+    for i in range(num):
+        bboxes[i] = [
+            lists["xmin"][i][0],
+            lists["ymin"][i][0],
+            lists["xmax"][i][0],
+            lists["ymax"][i][0],
+            lists["label"][i][0],
+        ]
+    filename = context.get("filename", [b""])[0].decode("utf-8", "replace")
+    return image, bboxes, filename
+
+
+def _round_up(value, multiple):
+    return int(-(-value // multiple) * multiple)
+
+
+def preprocess_image(config, image, bboxes=None, rng=None, augment=False):
+    """Apply the dataset's preprocessing to a raw image (reference :71-83).
+
+    Returns a dict with the resized (not yet padded) ``image``, adjusted
+    ``bboxes``, and ``scale_factor`` for mapping boxes back.
+    """
+    prep = config.dataset.image_preprocessing
+
+    if augment and rng is not None:
+        image, bboxes = apply_data_augmentation(
+            config.dataset.get("data_augmentation"), image, bboxes, rng
+        )
+
+    if prep.get("fixed_height"):
+        result = resize_image_fixed(
+            image, prep.fixed_height, prep.fixed_width, bboxes=bboxes
+        )
+    else:
+        result = resize_image(
+            image,
+            bboxes=bboxes,
+            min_size=prep.get("min_size"),
+            max_size=prep.get("max_size"),
+        )
+    return result
+
+
+def canvas_shape(config):
+    """The static (height, width) canvas images are padded to."""
+    prep = config.dataset.image_preprocessing
+    if prep.get("fixed_height"):
+        return int(prep.fixed_height), int(prep.fixed_width)
+    size = int(prep.get("max_size") or prep.get("min_size") or 1024)
+    return _round_up(size, 32), _round_up(size, 32)
+
+
+def pad_to_canvas(image, canvas_hw):
+    """Zero-pad bottom/right to the canvas; returns (padded, (h, w))."""
+    h, w = image.shape[0], image.shape[1]
+    ch, cw = canvas_hw
+    if h > ch or w > cw:
+        image = image[:ch, :cw]
+        h, w = image.shape[0], image.shape[1]
+    out = np.zeros((ch, cw, image.shape[2]), dtype=np.float32)
+    out[:h, :w] = image
+    return out, (h, w)
+
+
+def pad_gt_boxes(bboxes, max_gt):
+    """Pad (N, 5) boxes to (max_gt, 5) with label -1 on padding rows."""
+    out = np.full((max_gt, 5), -1.0, dtype=np.float32)
+    out[:, :4] = 0.0
+    n = min(len(bboxes), max_gt)
+    if n:
+        out[:n] = np.asarray(bboxes, dtype=np.float32)[:n]
+    return out
+
+
+class ObjectDetectionDataset:
+    """Iterable dataset yielding padded, batched training examples."""
+
+    def __init__(self, config, shuffle=None, num_epochs=None,
+                 augment=True, prefetch_batches=4, seed=None):
+        self._config = config
+        self._dataset_config = config.dataset
+        self._batch_size = int(config.train.get("batch_size", 1))
+        self._augment = augment
+        if shuffle is None:
+            shuffle = bool(config.train.get("random_shuffle", True))
+        self._shuffle = shuffle
+        if num_epochs is None:
+            num_epochs = int(config.train.get("num_epochs", 1))
+        self._num_epochs = num_epochs
+        self._max_gt = int(config.dataset.get("max_gt_boxes", 64))
+        self._prefetch = prefetch_batches
+        self._seed = seed if seed is not None else config.train.get("seed")
+
+        data_dir = self._dataset_config.dir
+        if not os.path.isdir(data_dir):
+            raise InvalidDataDirectory(
+                "{} is not a valid directory".format(data_dir)
+            )
+        self._files = find_split_files(data_dir, self._dataset_config.split)
+        self._canvas = canvas_shape(config)
+
+    @property
+    def canvas(self):
+        return self._canvas
+
+    def _example_stream(self):
+        rng = np.random.RandomState(self._seed)
+        for _ in range(self._num_epochs):
+            files = list(self._files)
+            if self._shuffle:
+                rng.shuffle(files)
+            for path in files:
+                records = read_tfrecords(path)
+                if self._shuffle:
+                    # Buffered shuffle (the reference's RandomShuffleQueue
+                    # with capacity 100).
+                    buffer = []
+                    for record in records:
+                        buffer.append(record)
+                        if len(buffer) >= 100:
+                            idx = rng.randint(len(buffer))
+                            buffer[idx], buffer[-1] = buffer[-1], buffer[idx]
+                            yield buffer.pop(), rng
+                    rng.shuffle(buffer)
+                    yield from ((r, rng) for r in buffer)
+                else:
+                    yield from ((r, rng) for r in records)
+
+    def _make_batch(self, examples):
+        images = np.stack([e["image"] for e in examples])
+        gt = np.stack([e["gt_boxes"] for e in examples])
+        im_shape = np.asarray(
+            [e["im_shape"] for e in examples], dtype=np.float32
+        )
+        scale = np.asarray(
+            [e["scale_factor"] for e in examples], dtype=np.float32
+        )
+        return {
+            "image": images,
+            "gt_boxes": gt,
+            "im_shape": im_shape,
+            "scale_factor": scale,
+            "filename": [e["filename"] for e in examples],
+            "raw_gt_counts": np.asarray(
+                [e["num_gt"] for e in examples], dtype=np.int32
+            ),
+        }
+
+    def _prepare(self, record, rng):
+        image, bboxes, filename = parse_record(record)
+        result = preprocess_image(
+            self._config, image, bboxes, rng=rng, augment=self._augment
+        )
+        padded, (h, w) = pad_to_canvas(result["image"], self._canvas)
+        scale = result.get("scale_factor", 1.0)
+        if isinstance(scale, tuple):
+            scale = float(np.mean(scale))
+        return {
+            "image": padded,
+            "gt_boxes": pad_gt_boxes(result.get("bboxes", bboxes), self._max_gt),
+            "im_shape": (float(h), float(w)),
+            "scale_factor": float(scale),
+            "filename": filename,
+            "num_gt": len(bboxes),
+        }
+
+    def _batch_stream(self):
+        batch = []
+        for record, rng in self._example_stream():
+            try:
+                batch.append(self._prepare(record, rng))
+            except Exception:
+                continue  # skip undecodable records
+            if len(batch) == self._batch_size:
+                yield self._make_batch(batch)
+                batch = []
+        # Drop the remainder (static batch shapes only).
+
+    def __iter__(self):
+        """Iterate batches with background prefetching."""
+        q = queue.Queue(maxsize=self._prefetch)
+        sentinel = object()
+        error = []
+
+        def worker():
+            try:
+                for batch in self._batch_stream():
+                    q.put(batch)
+            except Exception as e:  # surface loader errors
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
