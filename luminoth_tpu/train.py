@@ -1,0 +1,341 @@
+"""Training loop: jitted data-parallel train step + checkpointing + summaries.
+
+reference: luminoth/train.py:19-326. The TF1 machinery maps as follows:
+
+* ``MonitoredTrainingSession`` (auto-restore, periodic checkpoint) →
+  orbax ``CheckpointManager`` with resume-from-latest and
+  ``save_checkpoint_secs`` cadence;
+* queue runners → the dataset's threaded prefetch loader;
+* ``replica_device_setter`` PS/worker async data parallelism →
+  a 1-D device mesh with the batch sharded on the data axis; XLA
+  all-reduces gradients over ICI inside the jitted step;
+* summaries → tensorboardX event files (same TensorBoard UI);
+* chief-only side effects → ``jax.process_index() == 0``.
+
+Like the reference's ``run()`` (train.py:19-21), ``run(config)`` accepts
+injectable ``get_model_fn`` / ``get_dataset_fn`` seams for testing.
+"""
+
+import logging
+import os
+import time
+from typing import Any
+
+import click
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import freeze, unfreeze
+
+from luminoth_tpu.datasets import get_dataset
+from luminoth_tpu.models import get_model
+from luminoth_tpu.parallel import make_mesh, batch_sharding, replicate_sharding
+from luminoth_tpu.utils.config import (
+    Config,
+    get_config,
+    to_plain,
+)
+from luminoth_tpu.utils.experiments import save_run
+from luminoth_tpu.utils.training import (
+    build_trainable_mask,
+    build_weight_decay_mask,
+    get_optimizer,
+)
+
+logger = logging.getLogger("luminoth_tpu.train")
+
+
+@struct.dataclass
+class TrainState:
+    step: Any
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+
+
+def _model_dtype(config):
+    name = config.model.get("compute_dtype", "float32")
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+def build_model(config):
+    model_class = get_model(config.model.type)
+    return model_class(to_plain(config), dtype=_model_dtype(config))
+
+
+def init_model(model, config, batch_spec, rng):
+    """Initialize model variables from a synthetic batch of the right shape."""
+    images = jnp.zeros(batch_spec["image"], jnp.float32)
+    gt = jnp.zeros(batch_spec["gt_boxes"], jnp.float32)
+    variables = model.init(
+        {"params": rng, "target": rng, "dropout": rng},
+        images,
+        gt_boxes=gt,
+        train=True,
+    )
+    variables = unfreeze(variables)
+    return variables.get("params"), variables.get("batch_stats", {})
+
+
+def load_pretrained_backbone(params, config):
+    """Load backbone weights from a native ``.npz``/msgpack pytree file.
+
+    Replaces the reference's slim-checkpoint restore + variable remapping
+    (train.py:114-129, base_network.py:243-259). The file is produced by the
+    checkpoint conversion tool; keys are flattened ``a/b/c`` param paths
+    under the backbone scope.
+    """
+    weights_file = config.model.base_network.get("weights")
+    if not weights_file:
+        return params, False
+    from luminoth_tpu.utils.checkpoint_io import load_params_npz, merge_flat_params
+
+    flat = load_params_npz(weights_file)
+    params, n_loaded = merge_flat_params(params, flat)
+    logger.info("Loaded %d backbone arrays from %s", n_loaded, weights_file)
+    return params, True
+
+
+def make_train_step(model, tx, mesh=None):
+    """Build the jitted train step (sharded when a mesh is given)."""
+
+    def train_step(state, batch, rng):
+        rng_target, rng_dropout = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            preds = model.apply(
+                variables,
+                batch["image"],
+                gt_boxes=batch["gt_boxes"],
+                im_shape=batch.get("im_shape"),
+                train=True,
+                rngs={"target": rng_target, "dropout": rng_dropout},
+            ) if "im_shape" in batch else model.apply(
+                variables,
+                batch["image"],
+                gt_boxes=batch["gt_boxes"],
+                train=True,
+                rngs={"target": rng_target, "dropout": rng_dropout},
+            )
+            losses = model.loss(preds, return_all=True)
+            return losses["total_loss"], losses
+
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+        )
+        metrics = dict(losses)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    repl = replicate_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def _device_batch(batch, mesh):
+    keep = {"image", "gt_boxes", "im_shape"}
+    out = {k: v for k, v in batch.items() if k in keep}
+    if mesh is not None:
+        sharding = batch_sharding(mesh)
+        out = {k: jax.device_put(v, sharding) for k, v in out.items()}
+    return out
+
+
+def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
+        environment=None, max_steps=None):
+    """Train a model per config. Returns the final TrainState."""
+    train_cfg = config.train
+    model = get_model_fn(config.model.type)(
+        to_plain(config), dtype=_model_dtype(config)
+    )
+    dataset = get_dataset_fn(config.dataset.type)(config)
+
+    job_dir = train_cfg.get("job_dir", "jobs/")
+    run_name = train_cfg.get("run_name") or "default"
+    run_dir = os.path.join(job_dir, run_name)
+    no_log = bool(train_cfg.get("no_log"))
+    is_chief = jax.process_index() == 0
+
+    batch_iter = iter(dataset)
+    first_batch = next(batch_iter)
+    batch_size = first_batch["image"].shape[0]
+
+    # Mesh: shard the batch over as many devices as divide it.
+    devices = jax.devices()
+    n_dev = len(devices)
+    while batch_size % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(num_devices=n_dev) if n_dev > 1 else None
+    logger.info(
+        "Training on %d device(s), batch %d", n_dev, batch_size
+    )
+
+    rng = jax.random.PRNGKey(train_cfg.get("seed") or 0)
+    batch_spec = {
+        "image": first_batch["image"].shape,
+        "gt_boxes": first_batch["gt_boxes"].shape,
+    }
+    params, batch_stats = init_model(model, config, batch_spec, rng)
+    params, _ = load_pretrained_backbone(params, config)
+
+    trainable_mask = build_trainable_mask(params, config.model)
+    wd = config.model.base_network.get("arg_scope", {}).get("weight_decay", 0.0)
+    tx, lr_schedule = get_optimizer(
+        train_cfg,
+        trainable_mask=trainable_mask,
+        weight_decay=wd or 0.0,
+        weight_decay_mask=build_weight_decay_mask(params),
+    )
+    opt_state = tx.init(params)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        opt_state=opt_state,
+        batch_stats=batch_stats,
+    )
+
+    # Checkpointing (resume if a checkpoint exists in run_dir).
+    manager = None
+    if not no_log:
+        from luminoth_tpu.utils.checkpoint_io import CheckpointManager
+
+        manager = CheckpointManager(
+            os.path.join(run_dir, "ckpt"),
+            max_to_keep=int(train_cfg.get("checkpoints_max_keep", 1)),
+        )
+        restored = manager.restore_latest(state)
+        if restored is not None:
+            state = restored
+            logger.info("Resumed from step %d", int(state.step))
+
+    writer = None
+    if not no_log and is_chief:
+        os.makedirs(run_dir, exist_ok=True)
+        try:
+            from tensorboardX import SummaryWriter
+
+            writer = SummaryWriter(run_dir)
+        except Exception:
+            writer = None
+
+    if mesh is not None:
+        repl = replicate_sharding(mesh)
+        state = jax.device_put(state, repl)
+
+    train_step = make_train_step(model, tx, mesh)
+
+    if is_chief and not no_log:
+        try:
+            save_run(config, environment=environment)
+        except Exception:
+            pass
+
+    save_secs = train_cfg.get("save_checkpoint_secs") or 600
+    summary_secs = train_cfg.get("save_summaries_secs") or 30
+    summary_steps = train_cfg.get("save_summaries_steps")
+    last_save = time.time()
+    last_summary = time.time()
+
+    def batches():
+        yield first_batch
+        yield from batch_iter
+
+    step = int(state.step)
+    try:
+        for batch in batches():
+            if batch["image"].shape[0] != batch_size:
+                continue
+            device_batch = _device_batch(batch, mesh)
+            t0 = time.time()
+            state, metrics = train_step(state, device_batch, rng)
+            loss = float(metrics["total_loss"])
+            step = int(state.step)
+            dt = time.time() - t0
+
+            if not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"non-finite loss at step {step}: {loss}"
+                )
+
+            logger.info(
+                "step: %d, file: %s, train_loss: %.4f, in %.2fs",
+                step, batch.get("filename", [""])[0], loss, dt,
+            )
+
+            if writer is not None and (
+                (summary_steps and step % summary_steps == 0)
+                or (not summary_steps and time.time() - last_summary > summary_secs)
+            ):
+                for name, value in metrics.items():
+                    writer.add_scalar(
+                        f"losses/{name}", float(value), step
+                    )
+                writer.add_scalar(
+                    "training/learning_rate", float(lr_schedule(step)), step
+                )
+                writer.flush()
+                last_summary = time.time()
+
+            if manager is not None and is_chief and (
+                time.time() - last_save > save_secs
+            ):
+                manager.save(state, step)
+                last_save = time.time()
+
+            if max_steps is not None and step >= max_steps:
+                break
+    except KeyboardInterrupt:
+        logger.info("Interrupted at step %d", step)
+    finally:
+        if manager is not None and is_chief and step > 0:
+            manager.save(state, step)
+        if writer is not None:
+            writer.close()
+
+    return state
+
+
+@click.command(help="Train models")
+@click.option(
+    "config_files", "--config", "-c", required=True, multiple=True,
+    help="Config to use.")
+@click.option(
+    "override_params", "--override", "-o", multiple=True,
+    help="Override model config params.")
+@click.option(
+    "--max-steps", type=int, default=None,
+    help="Stop after this many steps (default: run all epochs).")
+def train(config_files, override_params, max_steps):
+    """``lumi train`` (reference: train.py:271-326)."""
+    logging.basicConfig(level=logging.INFO)
+    config = get_config(list(config_files), override_params=override_params)
+
+    # Multi-host: initialize the distributed runtime when configured.
+    if os.environ.get("LUMI_COORDINATOR"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["LUMI_COORDINATOR"],
+            num_processes=int(os.environ.get("LUMI_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("LUMI_PROCESS_ID", "0")),
+        )
+
+    return run(config, max_steps=max_steps)

@@ -1,0 +1,139 @@
+"""Checkpoint persistence for train state and weight pytrees.
+
+Replaces the reference's ``tf.train.Saver`` machinery (train.py:93-129):
+
+* :class:`CheckpointManager` — periodic train-state checkpoints with
+  ``max_to_keep`` rotation and resume-from-latest, serialized with flax
+  msgpack (parameters are replicated under data parallelism, so a single
+  host-side byte stream is exact; the chief is the only writer).
+* flat ``.npz`` pytree import/export — the native equivalent of slim's
+  pretrained-checkpoint restore with variable remapping
+  (base_network.py:243-259), also used by the checkpoint-zoo bundles.
+"""
+
+import json
+import os
+import re
+
+import jax
+import numpy as np
+from flax import serialization
+
+CHECKPOINT_PREFIX = "ckpt_step_"
+
+
+class CheckpointManager:
+    """Step-numbered msgpack checkpoints with rotation."""
+
+    def __init__(self, directory, max_to_keep=1):
+        self.directory = directory
+        self.max_to_keep = max_to_keep
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, step):
+        return os.path.join(self.directory, f"{CHECKPOINT_PREFIX}{step}.msgpack")
+
+    def all_steps(self):
+        steps = []
+        pattern = re.compile(rf"{CHECKPOINT_PREFIX}(\d+)\.msgpack$")
+        for name in os.listdir(self.directory):
+            m = pattern.match(name)
+            if m:
+                steps.append(int(m.group(1)))
+        return sorted(steps)
+
+    def latest_step(self):
+        steps = self.all_steps()
+        return steps[-1] if steps else None
+
+    def save(self, state, step):
+        state = jax.device_get(state)
+        data = serialization.to_bytes(state)
+        tmp = self._path(step) + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, self._path(step))
+        with open(os.path.join(self.directory, "checkpoint"), "w") as f:
+            json.dump({"latest_step": step}, f)
+        # Rotate.
+        steps = self.all_steps()
+        while len(steps) > self.max_to_keep:
+            victim = steps.pop(0)
+            try:
+                os.remove(self._path(victim))
+            except OSError:
+                pass
+
+    def restore(self, state_template, step):
+        with open(self._path(step), "rb") as f:
+            return serialization.from_bytes(state_template, f.read())
+
+    def restore_latest(self, state_template):
+        step = self.latest_step()
+        if step is None:
+            return None
+        return self.restore(state_template, step)
+
+
+# ---------------------------------------------------------------- flat npz
+
+
+def flatten_params(params, prefix=""):
+    """Nested param dict → {"a/b/c": array}."""
+    flat = {}
+    for key, value in params.items():
+        path = f"{prefix}/{key}" if prefix else key
+        if isinstance(value, dict):
+            flat.update(flatten_params(value, path))
+        else:
+            flat[path] = np.asarray(value)
+    return flat
+
+
+def unflatten_params(flat):
+    """{"a/b/c": array} → nested dict."""
+    nested = {}
+    for path, value in flat.items():
+        parts = path.split("/")
+        node = nested
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return nested
+
+
+def save_params_npz(path, params):
+    np.savez(path, **flatten_params(jax.device_get(params)))
+
+
+def load_params_npz(path):
+    with np.load(path, allow_pickle=False) as data:
+        return {key: data[key] for key in data.files}
+
+
+def merge_flat_params(params, flat):
+    """Merge flat arrays into a nested param tree by path; returns count.
+
+    Shapes must match; unknown paths are skipped (logged by caller). This is
+    the restore-with-remap seam for pretrained backbones.
+    """
+    loaded = 0
+    params = dict(params)
+
+    def merge(node, path):
+        nonlocal loaded
+        out = {}
+        for key, value in node.items():
+            sub_path = f"{path}/{key}" if path else key
+            if isinstance(value, dict):
+                out[key] = merge(value, sub_path)
+            elif sub_path in flat and flat[sub_path].shape == tuple(
+                np.shape(value)
+            ):
+                out[key] = flat[sub_path].astype(value.dtype)
+                loaded += 1
+            else:
+                out[key] = value
+        return out
+
+    return merge(params, ""), loaded

@@ -1,0 +1,125 @@
+"""Trainer tests with injected mock model/dataset (mirrors train_test.py)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from flax import linen as nn
+
+from luminoth_tpu import train as train_module
+from luminoth_tpu.utils.config import Config
+
+
+class MockModel(nn.Module):
+    """Tiny trainable stand-in for a detector (cf. MockFasterRCNN)."""
+
+    config: dict
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, gt_boxes=None, im_shape=None, train=False):
+        kernel = self.param(
+            "w", nn.initializers.ones, (3, 1)
+        )
+        pooled = jnp.mean(images, axis=(1, 2))  # (B, 3)
+        out = pooled @ kernel  # (B, 1)
+        return {"out": out}
+
+    def loss(self, preds, return_all=False):
+        loss = jnp.mean(jnp.square(preds["out"]))
+        if return_all:
+            return {"total_loss": loss}
+        return loss
+
+
+class FakeDataset:
+    """In-memory random batches (cf. train_test.py's FIFOQueue dataset)."""
+
+    def __init__(self, config, **kwargs):
+        self._batches = int(config.train.get("num_epochs", 1)) * 4
+        self._batch_size = int(config.train.get("batch_size", 1))
+
+    def __iter__(self):
+        rng = np.random.RandomState(0)
+        for _ in range(self._batches):
+            yield {
+                "image": rng.uniform(
+                    0, 255, (self._batch_size, 16, 16, 3)
+                ).astype(np.float32),
+                "gt_boxes": np.zeros((self._batch_size, 4, 5), np.float32),
+                "filename": ["fake.jpg"] * self._batch_size,
+            }
+
+
+def make_config(tmp_path, **train_overrides):
+    train = {
+        "batch_size": 2,
+        "num_epochs": 2,
+        "job_dir": str(tmp_path / "jobs"),
+        "run_name": "test",
+        "save_checkpoint_secs": 0,  # save every loop
+        "save_summaries_secs": 10000,
+        "checkpoints_max_keep": 2,
+        "learning_rate": {"learning_rate": 1e-6},
+        "optimizer": {"type": "momentum", "momentum": 0.9},
+        "seed": 7,
+    }
+    train.update(train_overrides)
+    return Config(
+        {
+            "train": train,
+            "dataset": {"type": "object_detection", "dir": "unused",
+                        "split": "train"},
+            "model": {
+                "type": "mock",
+                "compute_dtype": "float32",
+                "base_network": {"arg_scope": {"weight_decay": 0.0}},
+            },
+        }
+    )
+
+
+def run_training(config, max_steps=None):
+    return train_module.run(
+        config,
+        get_model_fn=lambda t: MockModel,
+        get_dataset_fn=lambda t: FakeDataset,
+        max_steps=max_steps,
+    )
+
+
+class TestTrain:
+    def test_loss_decreases(self, tmp_path):
+        config = make_config(tmp_path, no_log=True)
+        state = run_training(config)
+        assert int(state.step) == 8
+        # Weights moved away from init (ones).
+        w = np.asarray(state.params["w"])
+        assert not np.allclose(w, 1.0)
+
+    def test_checkpoint_save_and_resume(self, tmp_path):
+        config = make_config(tmp_path)
+        state = run_training(config, max_steps=3)
+        assert int(state.step) == 3
+
+        ckpt_dir = tmp_path / "jobs" / "test" / "ckpt"
+        assert any(f.startswith("ckpt_step_") for f in
+                   [p.name for p in ckpt_dir.iterdir()])
+
+        # Second run resumes from step 3 and continues.
+        state2 = run_training(config, max_steps=5)
+        assert int(state2.step) == 5
+
+    def test_max_keep_rotation(self, tmp_path):
+        config = make_config(tmp_path, checkpoints_max_keep=1)
+        run_training(config, max_steps=4)
+        ckpt_dir = tmp_path / "jobs" / "test" / "ckpt"
+        ckpts = [p for p in ckpt_dir.iterdir()
+                 if p.name.startswith("ckpt_step_")]
+        assert len(ckpts) == 1
+
+    def test_invalid_optimizer_raises(self, tmp_path):
+        config = make_config(
+            tmp_path, no_log=True, optimizer={"type": "magic"}
+        )
+        with pytest.raises(ValueError):
+            run_training(config, max_steps=1)
