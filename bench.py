@@ -32,8 +32,14 @@ def main():
     key = jax.random.PRNGKey(0)
     images = jax.random.uniform(key, (batch, height, width, 3)) * 255.0
 
+    # Throughput benchmark → weight values don't matter; build zero-filled
+    # variables from shape inference (full random init on-device is slow
+    # through the TPU tunnel).
     t0 = time.time()
-    variables = model.init(key, images[:1], train=False)
+    variables = jax.eval_shape(lambda: model.init(key, images[:1], train=False))
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), variables
+    )
     init_s = time.time() - t0
 
     @jax.jit

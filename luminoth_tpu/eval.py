@@ -1,0 +1,318 @@
+"""Streaming evaluator: checkpoint watcher + COCO-style mAP/mAR.
+
+reference: luminoth/eval.py (CLI + watch loop :23-223, get_checkpoints
+:226-279, evaluate_once :282-484, calculate_metrics :487-653). The metric
+computation stays on host in numpy — the accelerator only runs the forward
+pass — matching the reference's split (SURVEY.md §3.3 boundary note).
+"""
+
+import logging
+import os
+import time
+
+import click
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from luminoth_tpu.datasets import get_dataset
+from luminoth_tpu.models import get_model
+from luminoth_tpu.ops.np_boxes import bbox_overlap
+from luminoth_tpu.utils.config import get_config, to_plain
+
+logger = logging.getLogger(__name__)
+
+
+def calculate_metrics(output_per_batch, num_classes):
+    """Per-class AP/AR over IoU 0.50:0.95, 101-point interpolation.
+
+    Greedy score-ordered matching: each detection matches its highest-IoU
+    ground truth; a gt can be matched once per IoU threshold; duplicates are
+    false positives (reference :487-653).
+
+    Returns:
+        ``(ap_per_class, ar_per_class)`` arrays of shape
+        (num_classes, num_iou_thresholds).
+    """
+    iou_thresholds = np.linspace(0.50, 0.95, 10)
+    rec_thresholds = np.linspace(0.0, 1.0, 101)
+
+    tp_fp_by_class = [[] for _ in range(num_classes)]
+    num_gt_per_class = [0] * num_classes
+
+    num_batches = len(output_per_batch["bboxes"])
+    for idx in range(num_batches):
+        classes = np.asarray(output_per_batch["classes"][idx])
+        bboxes = np.asarray(output_per_batch["bboxes"][idx])
+        scores = np.asarray(output_per_batch["scores"][idx])
+        gt_classes = np.asarray(output_per_batch["gt_classes"][idx])
+        gt_bboxes = np.asarray(output_per_batch["gt_bboxes"][idx])
+
+        for cls in range(num_classes):
+            cls_bboxes = bboxes[classes == cls, :]
+            cls_scores = scores[classes == cls]
+            cls_gt_bboxes = gt_bboxes[gt_classes == cls, :]
+
+            num_gt = cls_gt_bboxes.shape[0]
+            num_gt_per_class[cls] += num_gt
+
+            sorted_indices = np.argsort(-cls_scores)
+            is_detected = np.zeros((num_gt, len(iou_thresholds)), bool)
+            tp_fp = np.zeros((len(cls_scores), len(iou_thresholds)))
+
+            if num_gt == 0:
+                tp_fp_by_class[cls].append((tp_fp, cls_scores[sorted_indices]))
+                continue
+
+            ious = bbox_overlap(cls_bboxes, cls_gt_bboxes)
+            for rank, bbox_idx in enumerate(sorted_indices):
+                gt_match = int(np.argmax(ious[bbox_idx, :]))
+                match_iou = ious[bbox_idx, gt_match]
+                for iou_idx, thresh in enumerate(iou_thresholds):
+                    if match_iou >= thresh and not is_detected[
+                        gt_match, iou_idx
+                    ]:
+                        tp_fp[rank, iou_idx] = True
+                        is_detected[gt_match, iou_idx] = True
+
+            tp_fp_by_class[cls].append((tp_fp, cls_scores[sorted_indices]))
+
+    ap_per_class = np.zeros((num_classes, len(iou_thresholds)))
+    ar_per_class = np.zeros((num_classes, len(iou_thresholds)))
+    for cls in range(num_classes):
+        labels, scores = zip(*tp_fp_by_class[cls])
+        labels = np.concatenate(labels)
+        scores = np.concatenate(scores)
+        num_examples = num_gt_per_class[cls]
+        if num_examples == 0:
+            continue
+
+        order = np.argsort(-scores)
+        true_positives = labels[order, :]
+        false_positives = 1 - true_positives
+        cum_tp = np.cumsum(true_positives, axis=0)
+        cum_fp = np.cumsum(false_positives, axis=0)
+
+        recall = cum_tp.astype(float) / num_examples
+        with np.errstate(divide="ignore", invalid="ignore"):
+            precision = np.where(
+                (cum_tp + cum_fp) > 0, cum_tp / (cum_tp + cum_fp), 0.0
+            )
+
+        for iou_idx in range(len(iou_thresholds)):
+            p = precision[:, iou_idx].copy()
+            r = recall[:, iou_idx]
+            # Monotone interpolation of the precision envelope.
+            for i in range(len(p) - 1, 0, -1):
+                if p[i] > p[i - 1]:
+                    p[i - 1] = p[i]
+
+            ap = 0.0
+            inds = np.searchsorted(r, rec_thresholds)
+            for pidx in inds:
+                if pidx >= len(r):
+                    break
+                ap += p[pidx] / len(rec_thresholds)
+            ap_per_class[cls, iou_idx] = ap
+            ar_per_class[cls, iou_idx] = r[-1] if len(r) else 0.0
+
+    return ap_per_class, ar_per_class
+
+
+def get_checkpoints(run_dir, last_step=0):
+    """New checkpoint steps in the run dir since ``last_step``."""
+    from luminoth_tpu.utils.checkpoint_io import CheckpointManager
+
+    ckpt_dir = os.path.join(run_dir, "ckpt")
+    if not os.path.isdir(ckpt_dir):
+        return []
+    manager = CheckpointManager(ckpt_dir)
+    return [s for s in manager.all_steps() if s > last_step]
+
+
+def _build_forward(model):
+    @jax.jit
+    def forward(variables, image, gt_boxes, im_shape):
+        preds = model.apply(
+            variables, image, gt_boxes=gt_boxes, im_shape=im_shape,
+            train=False,
+        )
+        cp = preds["classification_prediction"]
+        losses = model.loss(preds, return_all=True)
+        return (
+            cp["objects"], cp["labels"], cp["probs"], cp["valid"], losses
+        )
+
+    return forward
+
+
+def evaluate_once(config, model, variables, writer=None, global_step=0,
+                  forward=None, max_batches=None):
+    """Evaluate one checkpoint over the configured split.
+
+    Returns a metrics dict (AP/AR aggregates and mean losses).
+    """
+    num_classes = int(config.model.network.num_classes)
+    dataset = get_dataset(config.dataset.type)(
+        config, shuffle=False, num_epochs=1, augment=False
+    )
+    if forward is None:
+        forward = _build_forward(model)
+
+    output = {k: [] for k in
+              ("bboxes", "classes", "scores", "gt_bboxes", "gt_classes")}
+    loss_sums = {}
+    count = 0
+    start = time.time()
+    total_images = 0
+
+    for batch_idx, batch in enumerate(dataset):
+        if max_batches is not None and batch_idx >= max_batches:
+            break
+        objects, labels, probs, valid, losses = jax.device_get(
+            forward(
+                variables,
+                jnp.asarray(batch["image"]),
+                jnp.asarray(batch["gt_boxes"]),
+                jnp.asarray(batch["im_shape"]),
+            )
+        )
+        batch_size = objects.shape[0]
+        total_images += batch_size
+        for b in range(batch_size):
+            keep = valid[b].astype(bool)
+            output["bboxes"].append(objects[b][keep])
+            output["classes"].append(labels[b][keep])
+            output["scores"].append(probs[b][keep])
+            gt = batch["gt_boxes"][b]
+            gt_keep = gt[:, 4] >= 0
+            output["gt_bboxes"].append(gt[gt_keep][:, :4])
+            output["gt_classes"].append(gt[gt_keep][:, 4].astype(np.int64))
+        for name, value in losses.items():
+            loss_sums[name] = loss_sums.get(name, 0.0) + float(value)
+        count += 1
+        if count % 10 == 0:
+            rate = total_images / (time.time() - start)
+            logger.info("%d images evaluated (%.2f images/s)",
+                        total_images, rate)
+
+    elapsed = time.time() - start
+    logger.info(
+        "Evaluated %d images in %.2fs (%.2f images/s)",
+        total_images, elapsed, total_images / max(elapsed, 1e-6),
+    )
+
+    ap_per_class, ar_per_class = calculate_metrics(output, num_classes)
+    map_0_5 = float(np.mean(ap_per_class[:, 0]))
+    map_0_75 = float(np.mean(ap_per_class[:, 5]))
+    map_all = float(np.mean(ap_per_class))
+    mar_all = float(np.mean(ar_per_class))
+
+    metrics = {
+        "AP@0.5": map_0_5,
+        "AP@0.75": map_0_75,
+        "AP@[0.5:0.95]": map_all,
+        "AR@[0.5:0.95]": mar_all,
+        "images_per_second": total_images / max(elapsed, 1e-6),
+    }
+    for name, total in loss_sums.items():
+        metrics[f"losses/{name}"] = total / max(count, 1)
+
+    if writer is not None:
+        for name, value in metrics.items():
+            writer.add_scalar(f"validation/{name}", value, global_step)
+        writer.flush()
+
+    logger.info("Validation metrics at step %d: %s", global_step, {
+        k: round(v, 4) for k, v in metrics.items()
+    })
+    return metrics
+
+
+@click.command(help="Evaluate trained (or training) models")
+@click.option(
+    "dataset_split", "--split", default="val", help="Dataset split to use.")
+@click.option(
+    "config_files", "--config", "-c", required=True, multiple=True,
+    help="Config to use.")
+@click.option(
+    "--watch/--no-watch", default=True,
+    help="Keep watching checkpoint directory for new files.")
+@click.option(
+    "--from-global-step", type=int, default=None,
+    help="Consider only checkpoints after this step.")
+@click.option(
+    "override_params", "--override", "-o", multiple=True,
+    help="Override model config params.")
+@click.option(
+    "--files-per-class", type=int, default=10,
+    help="How many files per class to save (visualization).")
+@click.option(
+    "--max-detections", type=int, default=100,
+    help="Maximum detections considered per image.")
+def eval(dataset_split, config_files, watch, from_global_step,
+         override_params, files_per_class, max_detections):
+    """``lumi eval`` (reference: eval.py:23-223)."""
+    logging.basicConfig(level=logging.INFO)
+    config = get_config(list(config_files), override_params=override_params)
+
+    # Evaluation-mode config mutations (reference eval.py:52-89).
+    config.dataset.split = dataset_split
+    config.train.num_epochs = 1
+    config.dataset.data_augmentation = None
+    config.train.random_shuffle = False
+    if config.model.type == "fasterrcnn":
+        config.model.rcnn.proposals.total_max_detections = max_detections
+        config.model.rcnn.proposals.min_prob_threshold = 0.0
+    else:
+        config.model.proposals.total_max_detections = max_detections
+        config.model.proposals.min_prob_threshold = 0.0
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        config.model.get("compute_dtype", "float32")
+    ]
+    model = get_model(config.model.type)(to_plain(config), dtype=dtype)
+    forward = _build_forward(model)
+
+    job_dir = config.train.get("job_dir", "jobs/")
+    run_name = config.train.get("run_name") or "default"
+    run_dir = os.path.join(job_dir, run_name)
+
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(run_dir, dataset_split))
+    except Exception:
+        pass
+
+    from flax import serialization
+    from luminoth_tpu.utils.checkpoint_io import CheckpointManager
+
+    manager = CheckpointManager(os.path.join(run_dir, "ckpt"))
+    last_step = from_global_step or 0
+
+    while True:
+        steps = [s for s in manager.all_steps() if s > last_step]
+        if not steps:
+            if not watch:
+                break
+            time.sleep(5)
+            continue
+        for step in steps:
+            try:
+                with open(manager._path(step), "rb") as f:
+                    state = serialization.msgpack_restore(f.read())
+            except FileNotFoundError:
+                continue  # checkpoint rotated away while watching
+            variables = {"params": state["params"]}
+            if state.get("batch_stats"):
+                variables["batch_stats"] = state["batch_stats"]
+            logger.info("Evaluating checkpoint at step %d", step)
+            evaluate_once(
+                config, model, variables, writer=writer,
+                global_step=step, forward=forward,
+            )
+            last_step = step
+        if not watch:
+            break

@@ -54,7 +54,8 @@ class SSD(nn.Module):
         return (prep.fixed_height, prep.fixed_width)
 
     @nn.compact
-    def __call__(self, images, gt_boxes=None, train=False, debug=False):
+    def __call__(self, images, gt_boxes=None, im_shape=None, train=False,
+                 debug=False):
         """Run the detector.
 
         Args:

@@ -1,0 +1,404 @@
+"""Checkpoint zoo: local index, bundles, remote download, full CLI.
+
+reference: luminoth/tools/checkpoint/__init__.py (db read/save :45-61,
+merge :64-127, alias/id resolution :130-167, config resolution :170-217,
+create :414-524, edit :527-551, delete :554-589, export/import :592-683,
+refresh :686-688, download :691-713, list/info :337-411, CLI group
+:716-729).
+
+Bundles live under ``~/.luminoth_tpu/checkpoints/<id>/`` and hold:
+``config.yml`` (with ``train.job_dir`` pointing at the bundle),
+``classes.json``, and the weight checkpoint (``ckpt_step_*.msgpack`` with
+optimizer state stripped — the reference also drops optimizer slots,
+train.py:93-112).
+"""
+
+import json
+import os
+import shutil
+import tarfile
+import uuid
+
+import click
+import yaml
+
+from luminoth_tpu.utils.config import (
+    Config,
+    dump_config,
+    get_config,
+    load_config_files,
+)
+from luminoth_tpu.utils.homedir import get_home
+
+CHECKPOINT_INDEX = "checkpoints.json"
+CHECKPOINT_PATH = "checkpoints"
+
+REMOTE_INDEX_URL = os.environ.get(
+    "LUMI_REMOTE_INDEX_URL",
+    "https://github.com/tryolabs/luminoth/releases/download/v0.1.0/"
+    "checkpoints.json",
+)
+
+
+def get_checkpoints_directory():
+    path = os.path.join(get_home(), CHECKPOINT_PATH)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def get_checkpoint_path(checkpoint_id):
+    return os.path.join(get_checkpoints_directory(), checkpoint_id)
+
+
+def read_checkpoint_db():
+    path = os.path.join(get_checkpoints_directory(), CHECKPOINT_INDEX)
+    if not os.path.exists(path):
+        return {"checkpoints": []}
+    with open(path) as f:
+        return json.load(f)
+
+
+def save_checkpoint_db(db):
+    path = os.path.join(get_checkpoints_directory(), CHECKPOINT_INDEX)
+    with open(path, "w") as f:
+        json.dump(db, f, indent=2)
+
+
+def get_checkpoint(db, id_or_alias):
+    """Resolve by id prefix or alias; local entries win over remote."""
+    matches = [
+        c for c in db["checkpoints"]
+        if c["id"] == id_or_alias or c.get("alias") == id_or_alias
+    ]
+    if not matches:
+        matches = [
+            c for c in db["checkpoints"]
+            if c["id"].startswith(id_or_alias)
+        ]
+    if not matches:
+        return None
+    local = [c for c in matches if c.get("source") == "local"]
+    return (local or matches)[0]
+
+
+def merge_into_db(db, entry):
+    existing = [
+        i for i, c in enumerate(db["checkpoints"]) if c["id"] == entry["id"]
+    ]
+    if existing:
+        db["checkpoints"][existing[0]] = entry
+    else:
+        db["checkpoints"].append(entry)
+    return db
+
+
+# ------------------------------------------------------------ remote index
+
+
+def fetch_remote_index():
+    """Fetch the remote checkpoint index (requires network)."""
+    import urllib.request
+
+    with urllib.request.urlopen(REMOTE_INDEX_URL, timeout=30) as resp:
+        remote = json.load(resp)
+    db = read_checkpoint_db()
+    # Drop stale remote entries, merge fresh ones.
+    db["checkpoints"] = [
+        c for c in db["checkpoints"] if c.get("source") != "remote"
+        or c.get("status") == "DOWNLOADED"
+    ]
+    for entry in remote.get("checkpoints", []):
+        entry = dict(entry)
+        entry.setdefault("source", "remote")
+        entry.setdefault("status", "NOT_DOWNLOADED")
+        if get_checkpoint(db, entry["id"]) is None:
+            db["checkpoints"].append(entry)
+    save_checkpoint_db(db)
+    return db
+
+
+def download_remote_checkpoint(db, entry):
+    """Download and unpack a remote checkpoint tarball."""
+    import urllib.request
+
+    url = entry["url"]
+    target = get_checkpoint_path(entry["id"])
+    os.makedirs(target, exist_ok=True)
+    tar_path = os.path.join(target, "checkpoint.tar")
+    with urllib.request.urlopen(url, timeout=120) as resp:
+        with open(tar_path, "wb") as f:
+            shutil.copyfileobj(resp, f)
+    with tarfile.open(tar_path) as tar:
+        tar.extractall(target)
+    os.remove(tar_path)
+    entry["status"] = "DOWNLOADED"
+    merge_into_db(db, entry)
+    save_checkpoint_db(db)
+
+
+# ------------------------------------------------------- config resolution
+
+
+def get_checkpoint_config(id_or_alias, prompt=True):
+    """Resolve a checkpoint reference to a ready-to-use config."""
+    db = read_checkpoint_db()
+    entry = get_checkpoint(db, id_or_alias)
+    if entry is None and prompt:
+        # Try refreshing the remote index once.
+        try:
+            db = fetch_remote_index()
+            entry = get_checkpoint(db, id_or_alias)
+        except Exception:
+            pass
+    if entry is None:
+        raise ValueError(
+            "Checkpoint '{}' not found in index.".format(id_or_alias)
+        )
+    if entry.get("status", "LOCAL") == "NOT_DOWNLOADED":
+        if not prompt:
+            raise ValueError(
+                "Checkpoint '{}' not downloaded.".format(id_or_alias)
+            )
+        click.echo("Checkpoint not present locally. Downloading...")
+        download_remote_checkpoint(db, entry)
+
+    path = get_checkpoint_path(entry["id"])
+    config = load_config_files([os.path.join(path, "config.yml")])
+    config.train.job_dir = path
+    config.train.run_name = None
+    from luminoth_tpu.models import get_model
+    from luminoth_tpu.utils.config import get_base_config, get_model_config
+
+    base_config = get_base_config(get_model(config.model.type))
+    return get_model_config(base_config, config, None)
+
+
+def get_checkpoint_class_labels(id_or_alias):
+    db = read_checkpoint_db()
+    entry = get_checkpoint(db, id_or_alias)
+    if entry is None:
+        return None
+    path = os.path.join(
+        get_checkpoint_path(entry["id"]), "classes.json"
+    )
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+# ------------------------------------------------------------ CLI commands
+
+
+@click.group(help="Groups of commands to manage checkpoints")
+def checkpoint():
+    pass
+
+
+@checkpoint.command(help="List available checkpoints.")
+def list():  # noqa: A001 - mirrors reference command name
+    db = read_checkpoint_db()
+    template = "| {:>12} | {:>6} | {:>14} | {:>8} | {:>14} |"
+    click.echo(template.format("id", "name", "alias", "source", "status"))
+    click.echo("|" + "-" * 68 + "|")
+    for c in db["checkpoints"]:
+        click.echo(
+            template.format(
+                c["id"],
+                c.get("name", ""),
+                c.get("alias", ""),
+                c.get("source", "local"),
+                c.get("status", "LOCAL"),
+            )
+        )
+
+
+@checkpoint.command(help="Display detailed information on checkpoint.")
+@click.argument("id_or_alias")
+def info(id_or_alias):
+    db = read_checkpoint_db()
+    entry = get_checkpoint(db, id_or_alias)
+    if entry is None:
+        click.echo("Checkpoint not found.")
+        return
+    click.echo(json.dumps(entry, indent=2))
+
+
+@checkpoint.command(help="Create a checkpoint from a configuration file.")
+@click.option(
+    "config_files", "--config", "-c", required=True, multiple=True)
+@click.option(
+    "override_params", "--override", "-o", multiple=True)
+@click.option("--entity", help="Entity that created the checkpoint.")
+@click.option("--alias", help="Alias for the new checkpoint.")
+def create(config_files, override_params, entity, alias):
+    from luminoth_tpu.utils.checkpoint_io import CheckpointManager
+    from flax import serialization
+
+    config = get_config(
+        __builtins__["list"](config_files)
+        if isinstance(__builtins__, dict)
+        else [c for c in config_files],
+        override_params=[o for o in override_params],
+    )
+    job_dir = config.train.get("job_dir", "jobs/")
+    run_name = config.train.get("run_name") or "default"
+    source_dir = os.path.join(job_dir, run_name, "ckpt")
+    manager = CheckpointManager(source_dir)
+    step = manager.latest_step()
+    if step is None:
+        click.echo(f"No checkpoint found under {source_dir}.")
+        return
+
+    checkpoint_id = str(uuid.uuid4()).replace("-", "")[:12]
+    target = get_checkpoint_path(checkpoint_id)
+    os.makedirs(target, exist_ok=True)
+
+    # Strip optimizer state from the bundled weights.
+    with open(manager._path(step), "rb") as f:
+        state = serialization.msgpack_restore(f.read())
+    slim_state = {
+        "step": state.get("step", step),
+        "params": state["params"],
+        "batch_stats": state.get("batch_stats", {}),
+    }
+    with open(
+        os.path.join(target, f"ckpt_step_{step}.msgpack"), "wb"
+    ) as f:
+        f.write(serialization.msgpack_serialize(slim_state))
+    with open(os.path.join(target, "checkpoint"), "w") as f:
+        json.dump({"latest_step": step}, f)
+
+    # Bundle config with job_dir pointing at the bundle itself.
+    bundle_config = Config(config)
+    bundle_config.train.job_dir = target
+    bundle_config.train.run_name = None
+    with open(os.path.join(target, "config.yml"), "w") as f:
+        f.write(dump_config(bundle_config))
+
+    # classes.json from the dataset dir, if available.
+    classes_path = os.path.join(config.dataset.dir, "classes.json")
+    if os.path.exists(classes_path):
+        shutil.copy(classes_path, os.path.join(target, "classes.json"))
+
+    db = read_checkpoint_db()
+    entry = {
+        "id": checkpoint_id,
+        "name": run_name,
+        "description": "",
+        "alias": alias or "",
+        "model": config.model.type,
+        "dataset": {"name": config.dataset.get("dir", "")},
+        "entity": entity or "",
+        "source": "local",
+        "status": "LOCAL",
+    }
+    merge_into_db(db, entry)
+    save_checkpoint_db(db)
+    click.echo(f"Checkpoint {checkpoint_id} created successfully.")
+
+
+@checkpoint.command(help="Edits the checkpoint's metadata.")
+@click.argument("id_or_alias")
+@click.option("--alias")
+@click.option("--name")
+@click.option("--description")
+def edit(id_or_alias, alias, name, description):
+    db = read_checkpoint_db()
+    entry = get_checkpoint(db, id_or_alias)
+    if entry is None:
+        click.echo("Checkpoint not found.")
+        return
+    if alias is not None:
+        entry["alias"] = alias
+    if name is not None:
+        entry["name"] = name
+    if description is not None:
+        entry["description"] = description
+    merge_into_db(db, entry)
+    save_checkpoint_db(db)
+    click.echo("Checkpoint updated.")
+
+
+@checkpoint.command(help="Removes a checkpoint from the index and disk.")
+@click.argument("id_or_alias")
+def delete(id_or_alias):
+    db = read_checkpoint_db()
+    entry = get_checkpoint(db, id_or_alias)
+    if entry is None:
+        click.echo("Checkpoint not found.")
+        return
+    db["checkpoints"] = [
+        c for c in db["checkpoints"] if c["id"] != entry["id"]
+    ]
+    save_checkpoint_db(db)
+    path = get_checkpoint_path(entry["id"])
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    click.echo(f"Checkpoint {entry['id']} deleted successfully.")
+
+
+@checkpoint.command(help="Exports a checkpoint to a tar file.")
+@click.argument("id_or_alias")
+@click.option("--output", default=".", help="Output directory.")
+def export(id_or_alias, output):
+    db = read_checkpoint_db()
+    entry = get_checkpoint(db, id_or_alias)
+    if entry is None:
+        click.echo("Checkpoint not found.")
+        return
+    path = get_checkpoint_path(entry["id"])
+    tar_path = os.path.join(output, f"{entry['id']}.tar")
+    with tarfile.open(tar_path, "w") as tar:
+        tar.add(path, arcname=entry["id"])
+        metadata_path = os.path.join(path, "metadata.json")
+        with open(metadata_path, "w") as f:
+            json.dump(entry, f)
+        tar.add(metadata_path, arcname=f"{entry['id']}/metadata.json")
+    click.echo(f"Checkpoint {entry['id']} exported successfully.")
+
+
+@checkpoint.command("import", help="Imports a checkpoint tar.")
+@click.argument("path")
+def import_(path):
+    with tarfile.open(path) as tar:
+        names = tar.getnames()
+        root = names[0].split("/")[0]
+        tar.extractall(get_checkpoints_directory())
+    bundle = os.path.join(get_checkpoints_directory(), root)
+    metadata_path = os.path.join(bundle, "metadata.json")
+    if os.path.exists(metadata_path):
+        with open(metadata_path) as f:
+            entry = json.load(f)
+    else:
+        entry = {"id": root, "source": "local", "status": "LOCAL"}
+    entry["source"] = "local"
+    entry["status"] = "LOCAL"
+    db = read_checkpoint_db()
+    merge_into_db(db, entry)
+    save_checkpoint_db(db)
+    click.echo(f"Checkpoint {entry['id']} imported successfully.")
+
+
+@checkpoint.command(help="Refresh the remote checkpoint index.")
+def refresh():
+    try:
+        fetch_remote_index()
+        click.echo("Remote index refreshed.")
+    except Exception as e:
+        click.echo(f"Could not fetch remote index: {e}")
+
+
+@checkpoint.command(help="Download a remote checkpoint.")
+@click.argument("id_or_alias")
+def download(id_or_alias):
+    db = read_checkpoint_db()
+    entry = get_checkpoint(db, id_or_alias)
+    if entry is None:
+        click.echo("Checkpoint not found.")
+        return
+    if entry.get("status") != "NOT_DOWNLOADED":
+        click.echo("Checkpoint is already downloaded.")
+        return
+    download_remote_checkpoint(db, entry)
+    click.echo("Checkpoint downloaded.")

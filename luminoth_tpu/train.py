@@ -115,12 +115,6 @@ def make_train_step(model, tx, mesh=None):
                 im_shape=batch.get("im_shape"),
                 train=True,
                 rngs={"target": rng_target, "dropout": rng_dropout},
-            ) if "im_shape" in batch else model.apply(
-                variables,
-                batch["image"],
-                gt_boxes=batch["gt_boxes"],
-                train=True,
-                rngs={"target": rng_target, "dropout": rng_dropout},
             )
             losses = model.loss(preds, return_all=True)
             return losses["total_loss"], losses

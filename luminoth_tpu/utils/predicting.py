@@ -1,0 +1,140 @@
+"""Inference harness: checkpoint restore + jitted per-bucket forward.
+
+reference: luminoth/utils/predicting.py:10-148 (``PredictorNetwork``). The
+TF placeholder/session pair becomes a jit-compiled forward cached per input
+canvas shape; restore reads the latest training checkpoint from
+``train.job_dir/run_name`` (or explicit weights from a zoo bundle).
+"""
+
+import logging
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from luminoth_tpu.datasets.object_detection_dataset import (
+    canvas_shape,
+    pad_to_canvas,
+    preprocess_image,
+)
+from luminoth_tpu.models import get_model
+from luminoth_tpu.utils.config import to_plain
+
+logger = logging.getLogger(__name__)
+
+
+def load_checkpoint_variables(config):
+    """Restore {params, batch_stats} from the newest training checkpoint.
+
+    Searches, in order: the training layout ``job_dir/run_name/ckpt``,
+    ``job_dir/ckpt`` and ``job_dir`` itself (zoo-bundle layout).
+    """
+    job_dir = config.train.get("job_dir", "jobs/")
+    run_name = config.train.get("run_name") or "default"
+
+    from luminoth_tpu.utils.checkpoint_io import CheckpointManager
+
+    manager = None
+    step = None
+    for ckpt_dir in (
+        os.path.join(job_dir, run_name, "ckpt"),
+        os.path.join(job_dir, "ckpt"),
+        job_dir,
+    ):
+        if not os.path.isdir(ckpt_dir):
+            continue
+        candidate = CheckpointManager(ckpt_dir)
+        step = candidate.latest_step()
+        if step is not None:
+            manager = candidate
+            break
+    if manager is None or step is None:
+        raise FileNotFoundError(
+            f"no checkpoint found under {job_dir}"
+        )
+    with open(manager._path(step), "rb") as f:
+        state = serialization.msgpack_restore(f.read())
+    logger.info("Restored checkpoint at step %d from %s", step, ckpt_dir)
+    variables = {"params": state["params"]}
+    if state.get("batch_stats"):
+        variables["batch_stats"] = state["batch_stats"]
+    return variables
+
+
+class PredictorNetwork:
+    """Loads a model + checkpoint and predicts objects in images."""
+
+    def __init__(self, config, variables=None, class_labels=None):
+        self._config = config
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            config.model.get("compute_dtype", "float32")
+        ]
+        self._model = get_model(config.model.type)(
+            to_plain(config), dtype=dtype
+        )
+        self._canvas = canvas_shape(config)
+        if variables is None:
+            variables = load_checkpoint_variables(config)
+        self._variables = variables
+        self.class_labels = class_labels
+
+        @jax.jit
+        def forward(variables, image, im_shape):
+            preds = self._model.apply(
+                variables, image, im_shape=im_shape, train=False
+            )
+            cp = preds["classification_prediction"]
+            return cp["objects"], cp["labels"], cp["probs"], cp["valid"]
+
+        self._forward = forward
+
+    def predict_image(self, image):
+        """Detect objects in one RGB ndarray image.
+
+        Returns a list of dicts ``{bbox, label, prob}`` with boxes in the
+        original image's coordinates, sorted by probability.
+        """
+        image = np.asarray(image, dtype=np.float32)
+        result = preprocess_image(self._config, image)
+        resized = result["image"]
+        scale = result["scale_factor"]
+        padded, (h, w) = pad_to_canvas(resized, self._canvas)
+
+        batch_image = jnp.asarray(padded)[None]
+        im_shape = jnp.asarray([[float(h), float(w)]])
+        objects, labels, probs, valid = jax.device_get(
+            self._forward(self._variables, batch_image, im_shape)
+        )
+
+        objects, labels, probs, valid = (
+            objects[0], labels[0], probs[0], valid[0]
+        )
+        keep = valid.astype(bool)
+        objects = objects[keep]
+        labels = labels[keep]
+        probs = probs[keep]
+
+        # Scale boxes back to original-image coordinates.
+        if isinstance(scale, tuple):
+            sy, sx = scale
+            objects = objects / np.asarray([sx, sy, sx, sy])
+        else:
+            objects = objects / scale
+
+        order = np.argsort(-probs)
+        results = []
+        for i in order:
+            label = int(labels[i])
+            if self.class_labels is not None and label < len(self.class_labels):
+                label = self.class_labels[label]
+            results.append(
+                {
+                    "bbox": [float(v) for v in objects[i]],
+                    "label": label,
+                    "prob": round(float(probs[i]), 4),
+                }
+            )
+        return results

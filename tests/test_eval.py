@@ -1,0 +1,101 @@
+"""Evaluator tests: mAP/mAR computation scenarios."""
+
+import numpy as np
+
+from luminoth_tpu.eval import calculate_metrics
+
+
+def make_output(dets_per_image, gts_per_image):
+    """dets: list of (bboxes, classes, scores); gts: (bboxes, classes)."""
+    out = {k: [] for k in
+           ("bboxes", "classes", "scores", "gt_bboxes", "gt_classes")}
+    for (b, c, s), (gb, gc) in zip(dets_per_image, gts_per_image):
+        out["bboxes"].append(np.asarray(b, np.float64).reshape(-1, 4))
+        out["classes"].append(np.asarray(c, np.int64))
+        out["scores"].append(np.asarray(s, np.float64))
+        out["gt_bboxes"].append(np.asarray(gb, np.float64).reshape(-1, 4))
+        out["gt_classes"].append(np.asarray(gc, np.int64))
+    return out
+
+
+BOX = [10, 10, 50, 50]
+BOX_FAR = [100, 100, 140, 140]
+
+
+class TestCalculateMetrics:
+    def test_perfect_detection(self):
+        out = make_output(
+            [([BOX], [0], [0.9])],
+            [([BOX], [0])],
+        )
+        ap, ar = calculate_metrics(out, num_classes=1)
+        np.testing.assert_allclose(ap, 1.0, atol=0.01)
+        np.testing.assert_allclose(ar, 1.0)
+
+    def test_completely_missed(self):
+        out = make_output(
+            [([BOX_FAR], [0], [0.9])],
+            [([BOX], [0])],
+        )
+        ap, ar = calculate_metrics(out, num_classes=1)
+        np.testing.assert_allclose(ap, 0.0)
+        np.testing.assert_allclose(ar, 0.0)
+
+    def test_duplicate_detection_is_fp(self):
+        # Two detections of the same gt: second is a false positive, so
+        # precision at rank 2 is 0.5 but AP (interpolated) stays 1.0 at the
+        # single recall point... with 1 gt: recall hits 1.0 at rank 1,
+        # precision 1.0 → AP 1.0 despite the duplicate.
+        out = make_output(
+            [([BOX, BOX], [0, 0], [0.9, 0.8])],
+            [([BOX], [0])],
+        )
+        ap, _ = calculate_metrics(out, num_classes=1)
+        np.testing.assert_allclose(ap, 1.0, atol=0.01)
+
+    def test_lower_confidence_wrong_box(self):
+        # One TP at 0.9 + one FP at 0.95 (higher confidence, wrong place):
+        # precision at recall 1.0 is 0.5.
+        out = make_output(
+            [([BOX_FAR, BOX], [0, 0], [0.95, 0.9])],
+            [([BOX], [0])],
+        )
+        ap, _ = calculate_metrics(out, num_classes=1)
+        np.testing.assert_allclose(ap[0], 0.5, atol=0.01)
+
+    def test_iou_threshold_sweep(self):
+        # A detection with IoU ~0.6 counts for thresholds <= 0.6 only.
+        det = [10, 10, 50, 50]
+        gt = [10, 10, 50, 60]  # IoU = 41*41 / (41*51) ≈ 0.80
+        out = make_output([([det], [0], [0.9])], [([gt], [0])])
+        ap, _ = calculate_metrics(out, num_classes=1)
+        # thresholds 0.5..0.8 → TP; 0.85..0.95 → FP
+        np.testing.assert_allclose(ap[0, 0], 1.0, atol=1e-6)  # @0.5
+        np.testing.assert_allclose(ap[0, -1], 0.0, atol=1e-9)  # @0.95
+        assert 0 < ap.mean() < 1
+
+    def test_multiclass_and_empty_class(self):
+        out = make_output(
+            [([BOX, BOX_FAR], [0, 1], [0.9, 0.8])],
+            [([BOX, BOX_FAR], [0, 1])],
+        )
+        ap, ar = calculate_metrics(out, num_classes=3)
+        np.testing.assert_allclose(ap[0], 1.0, atol=0.01)
+        np.testing.assert_allclose(ap[1], 1.0, atol=0.01)
+        np.testing.assert_allclose(ap[2], 0.0)  # no gt, no detections
+
+    def test_multiple_images_accumulate(self):
+        out = make_output(
+            [
+                ([BOX], [0], [0.9]),
+                ([BOX_FAR], [0], [0.8]),
+            ],
+            [
+                ([BOX], [0]),
+                ([BOX], [0]),  # second image missed
+            ],
+        )
+        ap, ar = calculate_metrics(out, num_classes=1)
+        # Recall 0.5 with precision 1.0 up to that point, then FP.
+        assert 0.4 < ap[0, 0] <= 0.51
+        np.testing.assert_allclose(ar[0], 0.5)
