@@ -52,21 +52,35 @@ def _crop_one(feature_map, box, crop_size):
     return jnp.swapaxes(cols, 0, 1)
 
 
-@partial(jax.jit, static_argnames=("crop_size",))
-def crop_and_resize(feature_map, boxes, crop_size):
+@partial(jax.jit, static_argnames=("crop_size", "chunk_size"))
+def crop_and_resize(feature_map, boxes, crop_size, chunk_size=256):
     """Crop normalized boxes from a feature map with bilinear resampling.
+
+    ROIs are processed in chunks via ``lax.map`` so the separable-gather
+    intermediate stays at ``chunk · S · W · C`` instead of ``R · S · W · C``
+    (with thousands of ROIs per image the unchunked form is tens of GB).
 
     Args:
         feature_map: (H, W, C) feature map.
         boxes: (R, 4) normalized ``(y1, x1, y2, x2)`` boxes.
         crop_size: static output side S.
+        chunk_size: ROIs per sequential chunk.
 
     Returns:
         (R, S, S, C) crops.
     """
-    return jax.vmap(lambda b: _crop_one(feature_map, b, crop_size))(
-        boxes.astype(jnp.float32)
-    )
+    boxes = boxes.astype(jnp.float32)
+    r = boxes.shape[0]
+    crop_fn = jax.vmap(lambda b: _crop_one(feature_map, b, crop_size))
+    if r <= chunk_size:
+        return crop_fn(boxes)
+
+    num_chunks = -(-r // chunk_size)
+    pad = num_chunks * chunk_size - r
+    padded = jnp.pad(boxes, ((0, pad), (0, 0)))
+    chunked = padded.reshape(num_chunks, chunk_size, 4)
+    out = jax.lax.map(crop_fn, chunked)
+    return out.reshape(num_chunks * chunk_size, crop_size, crop_size, -1)[:r]
 
 
 def roi_crop_pool(feature_map, rois, im_shape, crop_size=14, pool=True):
