@@ -1,0 +1,3 @@
+from luminoth_tpu.tools.dataset.writers.object_detection_writer import (  # noqa: F401
+    ObjectDetectionWriter,
+)
