@@ -1,0 +1,155 @@
+"""Cloud TPU job submission: the TPU-native replacement for ML Engine.
+
+reference: luminoth/tools/cloud/gcloud.py — the reference packages an sdist
+and submits a parameter-server TF job to Google Cloud ML Engine
+(:92-140 package upload, :297-323 PS/worker cluster spec, :449-536 job
+list/logs). That product no longer matches the TPU execution model, so this
+module replaces it with Cloud TPU VM orchestration via the ``gcloud`` CLI:
+
+* ``lumi cloud tpu train`` — create (or reuse) a TPU VM/pod, rsync the
+  config + code, and launch ``lumi train`` on every host with the
+  ``jax.distributed`` environment (coordinator + process ids) that the
+  trainer reads (LUMI_COORDINATOR / LUMI_NUM_PROCESSES / LUMI_PROCESS_ID).
+* ``lumi cloud tpu spec`` — emit the launch commands without executing
+  anything (inspectable, and testable without credentials).
+* ``lumi cloud tpu jobs`` / ``logs`` / ``delete`` — thin wrappers over
+  ``gcloud compute tpus``.
+
+Synchronous data parallelism over ICI/DCN replaces the PS/worker cluster:
+no master/worker/ps counts — every host runs the same program.
+"""
+
+import json
+import shlex
+import subprocess
+
+import click
+
+DEFAULT_ACCELERATOR = "v5litepod-8"
+DEFAULT_VERSION = "tpu-ubuntu2204-base"
+
+
+def _run(cmd, dry_run=False):
+    click.echo("$ " + " ".join(shlex.quote(c) for c in cmd))
+    if dry_run:
+        return None
+    try:
+        return subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except FileNotFoundError:
+        raise click.ClickException(
+            "`gcloud` CLI not found; install the Google Cloud SDK or use "
+            "`lumi cloud tpu spec` to generate the commands."
+        )
+    except subprocess.CalledProcessError as e:
+        raise click.ClickException(e.stderr or str(e))
+
+
+def build_launch_spec(name, zone, accelerator, version, config_path,
+                      num_hosts, coordinator_port=8476):
+    """The per-host launch commands for a distributed training job."""
+    create_cmd = [
+        "gcloud", "compute", "tpus", "tpu-vm", "create", name,
+        f"--zone={zone}",
+        f"--accelerator-type={accelerator}",
+        f"--version={version}",
+    ]
+    worker_cmds = []
+    for process_id in range(num_hosts):
+        env = (
+            f"LUMI_COORDINATOR={name}-0:{coordinator_port} "
+            f"LUMI_NUM_PROCESSES={num_hosts} "
+            f"LUMI_PROCESS_ID={process_id}"
+        )
+        worker_cmds.append(
+            [
+                "gcloud", "compute", "tpus", "tpu-vm", "ssh", name,
+                f"--zone={zone}", f"--worker={process_id}", "--command",
+                f"{env} lumi train -c {config_path}",
+            ]
+        )
+    return {"create": create_cmd, "train": worker_cmds}
+
+
+@click.group(help="Train and manage jobs on Cloud TPU")
+def tpu():
+    pass
+
+
+@tpu.command(help="Create a TPU and launch a distributed training job.")
+@click.option("--name", required=True, help="TPU VM/pod name.")
+@click.option("--zone", default="us-central1-a")
+@click.option("--accelerator-type", default=DEFAULT_ACCELERATOR)
+@click.option("--runtime-version", default=DEFAULT_VERSION)
+@click.option("config_path", "--config", "-c", required=True)
+@click.option("--num-hosts", type=int, default=1,
+              help="Number of TPU hosts (pod slices have several).")
+@click.option("--dry-run", is_flag=True,
+              help="Print the commands without executing them.")
+def train(name, zone, accelerator_type, runtime_version, config_path,
+          num_hosts, dry_run):
+    spec = build_launch_spec(
+        name, zone, accelerator_type, runtime_version, config_path,
+        num_hosts,
+    )
+    _run(spec["create"], dry_run=dry_run)
+    for cmd in spec["train"]:
+        _run(cmd, dry_run=dry_run)
+
+
+@tpu.command(help="Print the launch spec for a distributed training job.")
+@click.option("--name", required=True)
+@click.option("--zone", default="us-central1-a")
+@click.option("--accelerator-type", default=DEFAULT_ACCELERATOR)
+@click.option("--runtime-version", default=DEFAULT_VERSION)
+@click.option("config_path", "--config", "-c", required=True)
+@click.option("--num-hosts", type=int, default=1)
+def spec(name, zone, accelerator_type, runtime_version, config_path,
+         num_hosts):
+    payload = build_launch_spec(
+        name, zone, accelerator_type, runtime_version, config_path,
+        num_hosts,
+    )
+    click.echo(json.dumps(payload, indent=2))
+
+
+@tpu.command(help="List TPU VMs.")
+@click.option("--zone", default="us-central1-a")
+@click.option("--dry-run", is_flag=True)
+def jobs(zone, dry_run):
+    result = _run(
+        ["gcloud", "compute", "tpus", "tpu-vm", "list", f"--zone={zone}"],
+        dry_run=dry_run,
+    )
+    if result is not None:
+        click.echo(result.stdout)
+
+
+@tpu.command(help="Tail the training logs of a TPU job.")
+@click.option("--name", required=True)
+@click.option("--zone", default="us-central1-a")
+@click.option("--dry-run", is_flag=True)
+def logs(name, zone, dry_run):
+    result = _run(
+        [
+            "gcloud", "compute", "tpus", "tpu-vm", "ssh", name,
+            f"--zone={zone}", "--command",
+            "tail -f ~/jobs/*/events* 2>/dev/null || tail -f ~/nohup.out",
+        ],
+        dry_run=dry_run,
+    )
+    if result is not None:
+        click.echo(result.stdout)
+
+
+@tpu.command(help="Delete a TPU VM.")
+@click.option("--name", required=True)
+@click.option("--zone", default="us-central1-a")
+@click.option("--dry-run", is_flag=True)
+def delete(name, zone, dry_run):
+    _run(
+        [
+            "gcloud", "compute", "tpus", "tpu-vm", "delete", name,
+            f"--zone={zone}", "--quiet",
+        ],
+        dry_run=dry_run,
+    )

@@ -1,0 +1,197 @@
+"""Web demo server: upload an image, get JSON detections + a preview.
+
+reference: luminoth/tools/server/web.py:31-111 (Flask app; ``GET /`` page,
+``POST /api/<model>/predict/`` multipart endpoint; model loaded on a
+background thread so startup doesn't block the first request; min-prob
+forced low so the frontend slider can re-filter). Implemented on the
+stdlib's threading HTTP server — same API surface, no Flask dependency.
+"""
+
+import cgi
+import io
+import json
+import logging
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import click
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+PREDICTOR_NETWORK = None
+NETWORK_START_THREAD = None
+MIN_PROB_FOR_FRONTEND = 0.01
+
+
+def _template_path():
+    return os.path.join(os.path.dirname(__file__), "templates", "index.html")
+
+
+def start_network(config, class_labels):
+    global PREDICTOR_NETWORK
+    from luminoth_tpu.utils.predicting import PredictorNetwork
+
+    PREDICTOR_NETWORK = PredictorNetwork(config, class_labels=class_labels)
+    logger.info("Model loaded and ready to serve.")
+
+
+class Handler(BaseHTTPRequestHandler):
+    model_name = "model"
+
+    def _send_json(self, payload, status=200):
+        body = json.dumps(payload).encode("utf-8")
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path in ("/", "/index.html"):
+            try:
+                with open(_template_path(), "rb") as f:
+                    body = f.read()
+            except OSError:
+                body = b"<html><body>luminoth-tpu server</body></html>"
+            body = body.replace(
+                b"{{ model_name }}", self.model_name.encode()
+            )
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self._send_json({"error": "not found"}, status=404)
+
+    def do_POST(self):
+        if not self.path.startswith("/api/") or "/predict" not in self.path:
+            self._send_json({"error": "not found"}, status=404)
+            return
+
+        content_type = self.headers.get("Content-Type", "")
+        image_bytes = None
+        params = {}
+        if content_type.startswith("multipart/form-data"):
+            form = cgi.FieldStorage(
+                fp=self.rfile,
+                headers=self.headers,
+                environ={
+                    "REQUEST_METHOD": "POST",
+                    "CONTENT_TYPE": content_type,
+                },
+            )
+            if "image" in form:
+                image_bytes = form["image"].file.read()
+            for key in ("min_prob", "total"):
+                if key in form:
+                    params[key] = form.getvalue(key)
+        else:
+            length = int(self.headers.get("Content-Length", 0))
+            image_bytes = self.rfile.read(length)
+
+        if not image_bytes:
+            self._send_json({"error": "missing image"}, status=400)
+            return
+
+        try:
+            from PIL import Image
+
+            image = np.asarray(
+                Image.open(io.BytesIO(image_bytes)).convert("RGB")
+            )
+        except Exception:
+            self._send_json({"error": "incorrect image format"}, status=400)
+            return
+
+        # Wait for the model to finish loading (web.py:51).
+        if NETWORK_START_THREAD is not None:
+            NETWORK_START_THREAD.join()
+        if PREDICTOR_NETWORK is None:
+            self._send_json({"error": "model failed to load"}, status=500)
+            return
+
+        objects = PREDICTOR_NETWORK.predict_image(image)
+        min_prob = float(params.get("min_prob", 0) or 0)
+        if min_prob:
+            objects = [o for o in objects if o["prob"] >= min_prob]
+        total = params.get("total")
+        if total:
+            objects = objects[: int(total)]
+        self._send_json({"objects": objects})
+
+    def log_message(self, fmt, *args):
+        logger.debug("%s - %s", self.address_string(), fmt % args)
+
+
+def run_server(config, class_labels=None, host="127.0.0.1", port=5000,
+               block=True):
+    """Start the demo server; returns the server object."""
+    global NETWORK_START_THREAD
+    NETWORK_START_THREAD = threading.Thread(
+        target=start_network, args=(config, class_labels), daemon=True
+    )
+    NETWORK_START_THREAD.start()
+
+    Handler.model_name = config.model.type
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    logger.info("Serving on http://%s:%d", host, port)
+    if block:
+        httpd.serve_forever()
+    else:
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd
+
+
+@click.command(help="Start basic web application.")
+@click.option(
+    "config_files", "--config", "-c", multiple=True, help="Config to use.")
+@click.option("--checkpoint", help="Checkpoint to use.")
+@click.option(
+    "override_params", "--override", "-o", multiple=True,
+    help="Override model config params.")
+@click.option("--host", default="127.0.0.1", help="Hostname to listen on.")
+@click.option("--port", default=5000, type=int, help="Port to listen to.")
+@click.option(
+    "--min-prob", default=0.5, type=float,
+    help="Only get bounding boxes with probability larger than.")
+@click.option("--debug", is_flag=True, help="Set debug level logging.")
+def web(config_files, checkpoint, override_params, host, port, min_prob,
+        debug):
+    logging.basicConfig(level=logging.DEBUG if debug else logging.INFO)
+
+    if config_files:
+        from luminoth_tpu.utils.config import get_config
+
+        config = get_config(list(config_files))
+        class_labels = None
+    else:
+        from luminoth_tpu.tools.checkpoint import (
+            get_checkpoint_config,
+            get_checkpoint_class_labels,
+        )
+
+        name = checkpoint or "accurate"
+        if not checkpoint:
+            click.echo(
+                "Neither checkpoint not config specified, assuming "
+                "`accurate`."
+            )
+        config = get_checkpoint_config(name)
+        class_labels = get_checkpoint_class_labels(name)
+
+    if override_params:
+        from luminoth_tpu.utils.config import override_config_params
+
+        config = override_config_params(config, override_params)
+
+    # Force a low min-prob so the frontend slider can filter client-side
+    # (reference web.py:96-104).
+    if config.model.type == "fasterrcnn":
+        config.model.rcnn.proposals.min_prob_threshold = MIN_PROB_FOR_FRONTEND
+    else:
+        config.model.proposals.min_prob_threshold = MIN_PROB_FOR_FRONTEND
+
+    run_server(config, class_labels=class_labels, host=host, port=port)

@@ -250,6 +250,51 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
     last_save = time.time()
     last_summary = time.time()
 
+    # Observability hooks (reference train.py:192-216, chief-only).
+    hooks = []
+    image_vis_mode = train_cfg.get("image_vis")
+    if writer is not None and image_vis_mode:
+        from luminoth_tpu.utils.hooks import ImageVisHook
+
+        monitor_state = {"fn": None}
+
+        def monitor_forward(state, device_batch):
+            if monitor_state["fn"] is None:
+                def fwd(params, batch_stats, batch):
+                    variables = {"params": params}
+                    if batch_stats:
+                        variables["batch_stats"] = batch_stats
+                    return model.apply(
+                        variables, batch["image"],
+                        gt_boxes=batch["gt_boxes"],
+                        im_shape=batch.get("im_shape"),
+                        train=False,
+                    )
+                monitor_state["fn"] = jax.jit(fwd)
+            return monitor_state["fn"](
+                state.params, state.batch_stats, device_batch
+            )
+
+        vis_hook = ImageVisHook(
+            writer,
+            config.model.type,
+            image_vis_mode=image_vis_mode,
+            every_secs=train_cfg.get("display_every_secs"),
+            every_steps=train_cfg.get("display_every_steps"),
+        )
+        hooks.append(("image_vis", vis_hook, monitor_forward))
+    var_vis_mode = train_cfg.get("var_vis")
+    if writer is not None and var_vis_mode:
+        from luminoth_tpu.utils.hooks import VarVisHook
+
+        var_hook = VarVisHook(
+            writer,
+            mode=var_vis_mode,
+            every_secs=train_cfg.get("display_every_secs") or 300,
+            every_steps=train_cfg.get("display_every_steps"),
+        )
+        hooks.append(("var_vis", var_hook, None))
+
     def batches():
         yield first_batch
         yield from batch_iter
@@ -295,6 +340,14 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
             ):
                 manager.save(state, step)
                 last_save = time.time()
+
+            for kind, hook, monitor in hooks:
+                if kind == "image_vis":
+                    if hook._timer.should_trigger(step):
+                        preds = monitor(state, device_batch)
+                        hook.after_step(step, batch, preds)
+                elif kind == "var_vis":
+                    hook.after_step(step, state.params)
 
             if max_steps is not None and step >= max_steps:
                 break

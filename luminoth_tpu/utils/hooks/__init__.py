@@ -1,0 +1,2 @@
+from luminoth_tpu.utils.hooks.image_vis_hook import ImageVisHook  # noqa: F401
+from luminoth_tpu.utils.hooks.var_vis_hook import VarVisHook  # noqa: F401

@@ -1,0 +1,53 @@
+"""Periodic parameter-histogram hook.
+
+reference: luminoth/utils/hooks/var_vis_hook.py:6-75 + utils/vars.py
+summary helpers with full/reduced log levels.
+"""
+
+import logging
+
+import numpy as np
+
+from luminoth_tpu.utils.hooks.timer import SecondOrStepTimer
+
+logger = logging.getLogger(__name__)
+
+
+class VarVisHook:
+    def __init__(self, writer, mode="reduced", every_secs=None,
+                 every_steps=None):
+        self._writer = writer
+        self._mode = mode
+        self._timer = SecondOrStepTimer(every_secs, every_steps)
+
+    def after_step(self, step, params):
+        if self._writer is None or not self._timer.should_trigger(step):
+            return
+        try:
+            import jax
+
+            flat = _flatten(jax.device_get(params))
+            for name, value in flat.items():
+                value = np.asarray(value)
+                if self._mode == "full":
+                    self._writer.add_histogram(
+                        f"variables/{name}", value, step
+                    )
+                self._writer.add_scalar(
+                    f"variables/{name}/mean", float(value.mean()), step
+                )
+            self._writer.flush()
+            self._timer.update(step)
+        except Exception as e:
+            logger.debug("var vis failed: %s", e)
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for key, value in tree.items():
+        path = f"{prefix}/{key}" if prefix else key
+        if isinstance(value, dict):
+            out.update(_flatten(value, path))
+        else:
+            out[path] = value
+    return out

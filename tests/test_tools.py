@@ -1,0 +1,152 @@
+"""Tools tests: server endpoint, cloud launch spec, image_vis, CLI tree."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+
+class TestCloudSpec:
+    def test_build_launch_spec(self):
+        from luminoth_tpu.tools.cloud.tpu import build_launch_spec
+
+        spec = build_launch_spec(
+            "myjob", "us-central1-a", "v5litepod-8", "tpu-ubuntu2204-base",
+            "config.yml", num_hosts=2,
+        )
+        assert spec["create"][5] == "myjob"
+        assert len(spec["train"]) == 2
+        cmd0 = " ".join(spec["train"][0])
+        assert "LUMI_PROCESS_ID=0" in cmd0
+        assert "LUMI_NUM_PROCESSES=2" in cmd0
+        assert "lumi train -c config.yml" in cmd0
+
+    def test_spec_command(self):
+        from luminoth_tpu.tools.cloud.tpu import tpu
+
+        runner = CliRunner()
+        result = runner.invoke(
+            tpu, ["spec", "--name", "j", "-c", "c.yml", "--num-hosts", "4"]
+        )
+        assert result.exit_code == 0
+        payload = json.loads(result.output)
+        assert len(payload["train"]) == 4
+
+
+class TestImageVis:
+    def test_summaries_fasterrcnn_train(self):
+        from luminoth_tpu.utils.image_vis import image_vis_summaries
+
+        image = np.zeros((60, 80, 3), np.float32)
+        gt = np.asarray([[5, 5, 30, 30, 1], [0, 0, 0, 0, -1]])
+        pred = {
+            "rpn_prediction": {
+                "proposals": np.asarray([[4, 4, 28, 28], [40, 40, 60, 50]]),
+                "scores": np.asarray([0.9, 0.4]),
+                "proposals_valid": np.asarray([True, True]),
+                "rpn_cls_target": np.asarray([1.0, 0.0]),
+            }
+        }
+        anchors = np.asarray([[4, 4, 28, 28], [40, 40, 60, 50]])
+        out = image_vis_summaries(
+            pred, config={"type": "fasterrcnn"}, image_vis_mode="train",
+            image=image, gt_boxes=gt, all_anchors=anchors,
+        )
+        assert "draw_gt_boxes" in out
+        assert "draw_rpn_proposals" in out
+        assert out["draw_gt_boxes"].shape == (60, 80, 3)
+        # Something was drawn (image isn't all black anymore).
+        assert out["draw_gt_boxes"].max() > 0
+
+    def test_summaries_eval_mode_detections(self):
+        from luminoth_tpu.utils.image_vis import image_vis_summaries
+
+        image = np.zeros((40, 40, 3), np.float32)
+        pred = {
+            "classification_prediction": {
+                "objects": np.asarray([[5, 5, 25, 25]]),
+                "labels": np.asarray([2]),
+                "probs": np.asarray([0.8]),
+                "valid": np.asarray([True]),
+            }
+        }
+        out = image_vis_summaries(
+            pred, config={"type": "fasterrcnn"}, image_vis_mode="eval",
+            image=image,
+        )
+        assert "draw_object_predictions" in out
+        assert out["draw_object_predictions"].max() > 0
+
+
+class TestServer:
+    def test_web_server_predict_endpoint(self, tmp_path):
+        """Spin up the server with a stubbed network and POST an image."""
+        import io as _io
+
+        from PIL import Image
+
+        from luminoth_tpu.tools.server import web as web_mod
+        from luminoth_tpu.utils.config import Config
+
+        class FakeNetwork:
+            def predict_image(self, image):
+                return [
+                    {"bbox": [1, 2, 3, 4], "label": "cat", "prob": 0.9},
+                    {"bbox": [1, 2, 3, 4], "label": "dog", "prob": 0.2},
+                ]
+
+        web_mod.PREDICTOR_NETWORK = FakeNetwork()
+        web_mod.NETWORK_START_THREAD = None
+        web_mod.Handler.model_name = "fasterrcnn"
+
+        from http.server import ThreadingHTTPServer
+
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), web_mod.Handler)
+        port = httpd.server_address[1]
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        try:
+            # GET index
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=5
+            ) as resp:
+                body = resp.read()
+            assert b"fasterrcnn" in body
+
+            # POST an image (raw body path)
+            buf = _io.BytesIO()
+            Image.new("RGB", (20, 20)).save(buf, "JPEG")
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/fasterrcnn/predict/",
+                data=buf.getvalue(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=5) as resp:
+                payload = json.load(resp)
+            assert len(payload["objects"]) == 2
+            assert payload["objects"][0]["label"] == "cat"
+        finally:
+            httpd.shutdown()
+
+
+class TestCLITree:
+    def test_all_commands_registered(self):
+        from luminoth_tpu.cli import cli
+
+        commands = set(cli.commands)
+        assert {"train", "predict", "eval", "checkpoint", "dataset",
+                "server", "cloud"} <= commands
+
+    def test_help_runs(self):
+        from luminoth_tpu.cli import cli
+
+        runner = CliRunner()
+        result = runner.invoke(cli, ["--help"])
+        assert result.exit_code == 0
+        result = runner.invoke(cli, ["dataset", "--help"])
+        assert result.exit_code == 0
+        result = runner.invoke(cli, ["checkpoint", "--help"])
+        assert result.exit_code == 0
