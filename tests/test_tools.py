@@ -88,8 +88,9 @@ class TestServer:
 
         from PIL import Image
 
-        from luminoth_tpu.tools.server import web as web_mod
-        from luminoth_tpu.utils.config import Config
+        import importlib
+
+        web_mod = importlib.import_module("luminoth_tpu.tools.server.web")
 
         class FakeNetwork:
             def predict_image(self, image):
