@@ -100,6 +100,7 @@ class TruncatedBaseNetwork(nn.Module):
                 output_stride=self.config.get("output_stride"),
                 endpoint=self.endpoint_name,
                 train_bn=train_bn,
+                stride_first=bool(self.config.get("torchvision_compat")),
                 dtype=self.dtype,
                 name=self.architecture,
             )(x)

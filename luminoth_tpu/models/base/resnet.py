@@ -188,12 +188,17 @@ class BottleneckV2(nn.Module):
         return shortcut + residual
 
 
-def _plan_units(block_defs, output_stride):
+def _plan_units(block_defs, output_stride, stride_first=False):
     """Expand block defs into per-unit (block, unit, stride, rate) schedules.
 
     Implements slim's ``stack_blocks_dense`` atrous bookkeeping: once the
     accumulated stride reaches ``output_stride``, further strides become
     dilation rates. The root conv+pool contribute stride 4.
+
+    ``stride_first`` switches to torchvision's convention (downsampling on
+    the first unit of each block instead of slim's last) so converted
+    torchvision-pretrained weights compute the features they were trained
+    for.
     """
     plan = []
     current_stride = 4
@@ -201,7 +206,8 @@ def _plan_units(block_defs, output_stride):
     for b, (base_depth, num_units, block_stride) in enumerate(block_defs, start=1):
         units = []
         for u in range(num_units):
-            unit_stride = block_stride if u == num_units - 1 else 1
+            stride_unit = 0 if stride_first else num_units - 1
+            unit_stride = block_stride if u == stride_unit else 1
             if output_stride is not None and current_stride == output_stride:
                 units.append((base_depth, 1, rate))
                 rate *= unit_stride
@@ -233,6 +239,7 @@ class ResNet(nn.Module):
     num_classes: Optional[int] = None
     global_pool: bool = False
     train_bn: bool = False
+    stride_first: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -250,7 +257,9 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         endpoints["root"] = x
 
-        for block_name, units in _plan_units(block_defs, self.output_stride):
+        for block_name, units in _plan_units(
+            block_defs, self.output_stride, self.stride_first
+        ):
             for u, (base_depth, stride, rate) in enumerate(units, start=1):
                 x = unit_cls(
                     depth=base_depth * 4,

@@ -389,6 +389,23 @@ def refresh():
         click.echo(f"Could not fetch remote index: {e}")
 
 
+@checkpoint.command(
+    "convert-backbone",
+    help="Convert a torchvision .pth backbone into native .npz weights.",
+)
+@click.argument("pth_path")
+@click.argument("out_path")
+@click.option(
+    "--architecture", default="resnet_v1_101",
+    help="Target architecture (resnet_v1_{50,101,152} or truncated_vgg_16).",
+)
+def convert_backbone(pth_path, out_path, architecture):
+    from luminoth_tpu.tools.checkpoint.convert import convert_backbone_file
+
+    count = convert_backbone_file(pth_path, out_path, architecture)
+    click.echo(f"Converted {count} arrays to {out_path}.")
+
+
 @checkpoint.command(help="Download a remote checkpoint.")
 @click.argument("id_or_alias")
 def download(id_or_alias):

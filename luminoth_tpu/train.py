@@ -79,23 +79,42 @@ def init_model(model, config, batch_spec, rng):
     return variables.get("params"), variables.get("batch_stats", {})
 
 
-def load_pretrained_backbone(params, config):
-    """Load backbone weights from a native ``.npz``/msgpack pytree file.
+def load_pretrained_backbone(params, batch_stats, config):
+    """Load backbone weights from a native flat ``.npz`` file.
 
     Replaces the reference's slim-checkpoint restore + variable remapping
-    (train.py:114-129, base_network.py:243-259). The file is produced by the
-    checkpoint conversion tool; keys are flattened ``a/b/c`` param paths
-    under the backbone scope.
+    (train.py:114-129, base_network.py:243-259). The file is produced by
+    ``lumi checkpoint convert-backbone``; keys are ``params/<path>`` and
+    ``batch_stats/<path>`` flattened variable paths.
     """
     weights_file = config.model.base_network.get("weights")
     if not weights_file:
-        return params, False
-    from luminoth_tpu.utils.checkpoint_io import load_params_npz, merge_flat_params
+        return params, batch_stats, False
+    from luminoth_tpu.utils.checkpoint_io import (
+        load_params_npz,
+        merge_flat_params,
+    )
 
     flat = load_params_npz(weights_file)
-    params, n_loaded = merge_flat_params(params, flat)
-    logger.info("Loaded %d backbone arrays from %s", n_loaded, weights_file)
-    return params, True
+    flat_params = {
+        k[len("params/"):]: v for k, v in flat.items()
+        if k.startswith("params/")
+    }
+    flat_stats = {
+        k[len("batch_stats/"):]: v for k, v in flat.items()
+        if k.startswith("batch_stats/")
+    }
+    if not flat_params and not flat_stats:
+        flat_params = flat  # un-prefixed layout
+    params, n_params = merge_flat_params(params, flat_params)
+    n_stats = 0
+    if batch_stats and flat_stats:
+        batch_stats, n_stats = merge_flat_params(batch_stats, flat_stats)
+    logger.info(
+        "Loaded %d param + %d batch-stat arrays from %s",
+        n_params, n_stats, weights_file,
+    )
+    return params, batch_stats, n_params > 0
 
 
 def make_train_step(model, tx, mesh=None):
@@ -190,7 +209,9 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
         "gt_boxes": first_batch["gt_boxes"].shape,
     }
     params, batch_stats = init_model(model, config, batch_spec, rng)
-    params, _ = load_pretrained_backbone(params, config)
+    params, batch_stats, _ = load_pretrained_backbone(
+        params, batch_stats, config
+    )
 
     trainable_mask = build_trainable_mask(params, config.model)
     wd = config.model.base_network.get("arg_scope", {}).get("weight_decay", 0.0)
