@@ -153,7 +153,10 @@ def build_trainable_mask(params, model_config):
 
     def path_trainable(path):
         names = [getattr(p, "key", str(p)) for p in path]
-        in_backbone = "base_network" in names[0] and "tail" not in names[0]
+        # Backbone scopes: FRCNN's "base_network", SSD's "feature_extractor".
+        in_backbone = (
+            "base_network" in names[0] or "feature_extractor" in names[0]
+        ) and "tail" not in names[0]
         in_tail = "tail" in names[0]
         if in_tail:
             return not freeze_tail
