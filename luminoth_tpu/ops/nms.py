@@ -57,8 +57,18 @@ def _self_suppression(iou_mask, alive0):
     return alive
 
 
+def _default_block(n):
+    """Tile size heuristic: larger tiles cut sequential depth (the cost on
+    TPU is per-tile dispatch latency, not the IoU FLOPs)."""
+    if n >= 4096:
+        return 512
+    if n >= 1024:
+        return 256
+    return min(128, n)
+
+
 @partial(jax.jit, static_argnames=("max_outputs", "block_size"))
-def nms_padded(boxes, scores, iou_threshold, max_outputs, valid=None, block_size=128):
+def nms_padded(boxes, scores, iou_threshold, max_outputs, valid=None, block_size=None):
     """Greedy NMS over a fixed-size candidate set.
 
     Args:
@@ -86,6 +96,8 @@ def nms_padded(boxes, scores, iou_threshold, max_outputs, valid=None, block_size
     boxes_s = boxes[order]
     valid_s = valid[order]
 
+    if block_size is None:
+        block_size = _default_block(n)
     block = min(block_size, n)
     num_blocks = -(-n // block)
     pad = num_blocks * block - n

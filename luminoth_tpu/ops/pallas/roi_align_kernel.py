@@ -1,0 +1,118 @@
+"""Fused ROI crop-and-resize(+maxpool) Pallas TPU kernel.
+
+The XLA formulation of separable bilinear cropping writes the (R, S, W, C)
+"rows" intermediate to HBM between the two interpolation matmuls — several
+GB per image at R=2000 proposals, which makes the stage HBM-bound. This
+kernel keeps the entire feature map and the per-ROI intermediate in VMEM:
+
+    per ROI:  rows = Wy (S, H) @ fm (H, W·C)          (MXU)
+              crop = Wx (S, W) @ rowsᵀ (W, S·C)       (MXU)
+              out  = maxpool2x2(crop)                 (VPU, fused)
+
+Only the pooled (S/2, S/2, C) crops ever touch HBM. The grid tiles the ROI
+axis; the feature map block is re-used across programs (constant index
+map → it stays resident).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _roi_kernel(wy_ref, wx_ref, fm_ref, out_ref, *, tile_r, s, pool):
+    h = wy_ref.shape[-1]
+    w = wx_ref.shape[-1]
+    c = fm_ref.shape[-1] // w
+
+    fm = fm_ref[:]  # (H, W*C)
+
+    for j in range(tile_r):
+        wy = wy_ref[j]  # (S, H)
+        wx = wx_ref[j]  # (S, W)
+        rows = jnp.dot(
+            wy, fm, preferred_element_type=jnp.float32
+        )  # (S, W*C)
+        # (S, W, C) → (W, S, C) → (W, S*C): contraction axis in front.
+        rows = rows.reshape(s, w, c).transpose(1, 0, 2).reshape(w, s * c)
+        crop_t = jnp.dot(
+            wx, rows.astype(fm.dtype), preferred_element_type=jnp.float32
+        )  # (S_t, S_s*C)
+        # (t, s, c) → (s, t, c)
+        crop = crop_t.reshape(s, s, c).transpose(1, 0, 2)
+        if pool:
+            crop = crop.reshape(s // 2, 2, s // 2, 2, c)
+            crop = jnp.max(crop, axis=(1, 3))
+        out_ref[j] = crop.astype(out_ref.dtype)
+
+
+@partial(
+    jax.jit, static_argnames=("crop_size", "tile_r", "pool")
+)
+def roi_align_pallas(feature_map, wy, wx, crop_size, tile_r=8, pool=True):
+    """Fused crop(+pool) over precomputed interpolation matrices.
+
+    Args:
+        feature_map: (H, W, C).
+        wy: (R, S, H) row-interpolation weights.
+        wx: (R, S, W) column-interpolation weights.
+        crop_size: S (must be even when pooling).
+        tile_r: ROIs per grid program.
+        pool: fuse the 2x2/2 max-pool.
+
+    Returns:
+        (R, S/2, S/2, C) when pooling else (R, S, S, C).
+    """
+    h, w, c = feature_map.shape
+    r = wy.shape[0]
+    s = crop_size
+    out_s = s // 2 if pool else s
+
+    num_tiles = -(-r // tile_r)
+    pad = num_tiles * tile_r - r
+    if pad:
+        wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+
+    fm2d = feature_map.reshape(h, w * c)
+    dtype = feature_map.dtype
+    wy = wy.astype(dtype)
+    wx = wx.astype(dtype)
+
+    out = pl.pallas_call(
+        partial(_roi_kernel, tile_r=tile_r, s=s, pool=pool),
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_r, s, h), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_r, s, w), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (h, w * c), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_r, out_s, out_s, c), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_tiles * tile_r, out_s, out_s, c), dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * s * (h + s) * w * c,
+            bytes_accessed=(
+                h * w * c * 2 + r * out_s * out_s * c * 2
+            ),
+            transcendentals=0,
+        ),
+    )(wy, wx, fm2d)
+    return out[:r]
