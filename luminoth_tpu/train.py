@@ -320,6 +320,17 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
         yield first_batch
         yield from batch_iter
 
+    # Profiler trace capture (reference train.py:133-137 full_trace →
+    # tf.RunOptions(FULL_TRACE); here: a jax.profiler trace of the first
+    # few steps, viewable in TensorBoard's profile tab).
+    trace_dir = None
+    trace_stop_step = None
+    if train_cfg.get("full_trace") and is_chief:
+        trace_dir = os.path.join(run_dir, "profile")
+        jax.profiler.start_trace(trace_dir)
+        trace_stop_step = int(state.step) + 5
+        logger.info("Profiler trace started → %s", trace_dir)
+
     step = int(state.step)
     try:
         for batch in batches():
@@ -370,11 +381,21 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
                 elif kind == "var_vis":
                     hook.after_step(step, state.params)
 
+            if trace_dir is not None and step >= trace_stop_step:
+                jax.profiler.stop_trace()
+                logger.info("Profiler trace saved to %s", trace_dir)
+                trace_dir = None
+
             if max_steps is not None and step >= max_steps:
                 break
     except KeyboardInterrupt:
         logger.info("Interrupted at step %d", step)
     finally:
+        if trace_dir is not None:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
         if manager is not None and is_chief and step > 0:
             manager.save(state, step)
         if writer is not None:
