@@ -69,9 +69,13 @@ class Detector:
         if single:
             images = [images]
 
+        # One batched device call for the whole list (the reference loops
+        # per image — tasks.py:149-154).
+        batched = self._network.predict_batch(
+            [np.asarray(image) for image in images]
+        )
         all_results = []
-        for image in images:
-            objects = self._network.predict_image(np.asarray(image))
+        for objects in batched:
             objects = [o for o in objects if o["prob"] >= prob]
             if classes is not None:
                 objects = [o for o in objects if o["label"] in classes]

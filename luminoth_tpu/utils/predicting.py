@@ -97,44 +97,74 @@ class PredictorNetwork:
         Returns a list of dicts ``{bbox, label, prob}`` with boxes in the
         original image's coordinates, sorted by probability.
         """
-        image = np.asarray(image, dtype=np.float32)
-        result = preprocess_image(self._config, image)
-        resized = result["image"]
-        scale = result["scale_factor"]
-        padded, (h, w) = pad_to_canvas(resized, self._canvas)
+        return self.predict_batch([image])[0]
 
-        batch_image = jnp.asarray(padded)[None]
-        im_shape = jnp.asarray([[float(h), float(w)]])
-        objects, labels, probs, valid = jax.device_get(
+    def predict_batch(self, images, pad_to=None):
+        """Detect objects in a list of images with ONE device forward.
+
+        The reference loops single-image sess.run calls (tasks.py:149-154);
+        here images share the padded canvas so they batch into a single
+        compiled program. ``pad_to`` rounds the batch up (duplicate last
+        image) to avoid re-compiles for ragged final batches.
+
+        Returns a list (per image) of lists of ``{bbox, label, prob}``.
+        """
+        n = len(images)
+        if n == 0:
+            return []
+
+        padded_images = []
+        shapes = []
+        scales = []
+        for image in images:
+            result = preprocess_image(
+                self._config, np.asarray(image, dtype=np.float32)
+            )
+            padded, (h, w) = pad_to_canvas(result["image"], self._canvas)
+            padded_images.append(padded)
+            shapes.append((float(h), float(w)))
+            scales.append(result["scale_factor"])
+
+        batch = n if pad_to is None else max(pad_to, n)
+        while len(padded_images) < batch:
+            padded_images.append(padded_images[-1])
+            shapes.append(shapes[-1])
+            scales.append(scales[-1])
+
+        batch_image = jnp.asarray(np.stack(padded_images))
+        im_shape = jnp.asarray(shapes, dtype=jnp.float32)
+        objects_b, labels_b, probs_b, valid_b = jax.device_get(
             self._forward(self._variables, batch_image, im_shape)
         )
 
-        objects, labels, probs, valid = (
-            objects[0], labels[0], probs[0], valid[0]
-        )
-        keep = valid.astype(bool)
-        objects = objects[keep]
-        labels = labels[keep]
-        probs = probs[keep]
+        all_results = []
+        for b in range(n):
+            keep = valid_b[b].astype(bool)
+            objects = objects_b[b][keep]
+            labels = labels_b[b][keep]
+            probs = probs_b[b][keep]
 
-        # Scale boxes back to original-image coordinates.
-        if isinstance(scale, tuple):
-            sy, sx = scale
-            objects = objects / np.asarray([sx, sy, sx, sy])
-        else:
-            objects = objects / scale
+            scale = scales[b]
+            if isinstance(scale, tuple):
+                sy, sx = scale
+                objects = objects / np.asarray([sx, sy, sx, sy])
+            else:
+                objects = objects / scale
 
-        order = np.argsort(-probs)
-        results = []
-        for i in order:
-            label = int(labels[i])
-            if self.class_labels is not None and label < len(self.class_labels):
-                label = self.class_labels[label]
-            results.append(
-                {
-                    "bbox": [float(v) for v in objects[i]],
-                    "label": label,
-                    "prob": round(float(probs[i]), 4),
-                }
-            )
-        return results
+            order = np.argsort(-probs)
+            results = []
+            for i in order:
+                label = int(labels[i])
+                if self.class_labels is not None and label < len(
+                    self.class_labels
+                ):
+                    label = self.class_labels[label]
+                results.append(
+                    {
+                        "bbox": [float(v) for v in objects[i]],
+                        "label": label,
+                        "prob": round(float(probs[i]), 4),
+                    }
+                )
+            all_results.append(results)
+        return all_results
