@@ -147,10 +147,13 @@ def _build_forward(model):
 
 
 def evaluate_once(config, model, variables, writer=None, global_step=0,
-                  forward=None, max_batches=None):
+                  forward=None, max_batches=None, files_per_class=0):
     """Evaluate one checkpoint over the configured split.
 
-    Returns a metrics dict (AP/AR aggregates and mean losses).
+    Returns a metrics dict (AP/AR aggregates and mean losses). When
+    ``files_per_class`` > 0 and a writer is given, up to that many rendered
+    detection images per class are written as image summaries (reference
+    eval.py:351-380).
     """
     num_classes = int(config.model.network.num_classes)
     dataset = get_dataset(config.dataset.type)(
@@ -158,6 +161,30 @@ def evaluate_once(config, model, variables, writer=None, global_step=0,
     )
     if forward is None:
         forward = _build_forward(model)
+
+    saved_per_class = {}
+
+    def maybe_save_images(batch, b, objects, labels, probs, keep):
+        if writer is None or not files_per_class:
+            return
+        from luminoth_tpu.utils.image_vis import draw_object_predictions
+
+        for cls in set(labels[keep].astype(int).tolist()):
+            if saved_per_class.get(cls, 0) >= files_per_class:
+                continue
+            saved_per_class[cls] = saved_per_class.get(cls, 0) + 1
+            img = draw_object_predictions(
+                batch["image"][b],
+                prediction_dict={
+                    "objects": objects, "labels": labels, "probs": probs,
+                    "valid": keep,
+                },
+                min_prob=0.5,
+            )
+            writer.add_image(
+                f"{cls}/{saved_per_class[cls]}", img, global_step,
+                dataformats="HWC",
+            )
 
     output = {k: [] for k in
               ("bboxes", "classes", "scores", "gt_bboxes", "gt_classes")}
@@ -188,6 +215,9 @@ def evaluate_once(config, model, variables, writer=None, global_step=0,
             gt_keep = gt[:, 4] >= 0
             output["gt_bboxes"].append(gt[gt_keep][:, :4])
             output["gt_classes"].append(gt[gt_keep][:, 4].astype(np.int64))
+            maybe_save_images(
+                batch, b, objects[b], labels[b], probs[b], keep
+            )
         for name, value in losses.items():
             loss_sums[name] = loss_sums.get(name, 0.0) + float(value)
         count += 1
@@ -312,6 +342,7 @@ def eval(dataset_split, config_files, watch, from_global_step,
             evaluate_once(
                 config, model, variables, writer=writer,
                 global_step=step, forward=forward,
+                files_per_class=files_per_class,
             )
             last_step = step
         if not watch:
