@@ -41,7 +41,7 @@ from luminoth_tpu.ops.anchors import (
     generate_anchors_reference,
 )
 from luminoth_tpu.ops.losses import smooth_l1_loss, softmax_cross_entropy
-from luminoth_tpu.ops.roi_align import roi_crop_pool
+from luminoth_tpu.ops.roi_align import roi_crop_pool_batch
 
 
 def _masked_mean(values, mask):
@@ -225,11 +225,10 @@ class FasterRCNN(nn.Module):
         # ROI crop-and-resize from the padded-image coordinate frame.
         roi_cfg = rcnn_cfg.roi
         crop_size = int(roi_cfg.pooled_height) * 2
-        pooled = jax.vmap(
-            lambda fm, rois: roi_crop_pool(
-                fm, rois, (float(full_h), float(full_w)), crop_size=crop_size
-            )
-        )(feature_map, proposals)  # (B, R, S, S, C)
+        pooled = roi_crop_pool_batch(
+            feature_map, proposals, (float(full_h), float(full_w)),
+            crop_size=crop_size,
+        )  # (B, R, S/2, S/2, C)
 
         b, r = pooled.shape[0], pooled.shape[1]
         flat = pooled.reshape((b * r,) + pooled.shape[2:])

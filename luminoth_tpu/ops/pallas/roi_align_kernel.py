@@ -27,11 +27,11 @@ def _roi_kernel(wy_ref, wx_ref, fm_ref, out_ref, *, tile_r, s, pool):
     w = wx_ref.shape[-1]
     c = fm_ref.shape[-1] // w
 
-    fm = fm_ref[:]  # (H, W*C)
+    fm = fm_ref[0]  # (H, W*C)
 
     for j in range(tile_r):
-        wy = wy_ref[j]  # (S, H)
-        wx = wx_ref[j]  # (S, W)
+        wy = wy_ref[0, j]  # (S, H)
+        wx = wx_ref[0, j]  # (S, W)
         rows = jnp.dot(
             wy, fm, preferred_element_type=jnp.float32
         )  # (S, W*C)
@@ -45,7 +45,7 @@ def _roi_kernel(wy_ref, wx_ref, fm_ref, out_ref, *, tile_r, s, pool):
         if pool:
             crop = crop.reshape(s // 2, 2, s // 2, 2, c)
             crop = jnp.max(crop, axis=(1, 3))
-        out_ref[j] = crop.astype(out_ref.dtype)
+        out_ref[0, j] = crop.astype(out_ref.dtype)
 
 
 @partial(
@@ -54,65 +54,80 @@ def _roi_kernel(wy_ref, wx_ref, fm_ref, out_ref, *, tile_r, s, pool):
 def roi_align_pallas(feature_map, wy, wx, crop_size, tile_r=8, pool=True):
     """Fused crop(+pool) over precomputed interpolation matrices.
 
+    Batched natively: the grid is (batch, roi_tiles) — no vmap needed (and
+    none wanted: batching a pallas_call by vmap costs a much slower
+    compile). The feature-map block's index map only depends on the batch
+    index, so it stays resident across a whole image's ROI tiles.
+
     Args:
-        feature_map: (H, W, C).
-        wy: (R, S, H) row-interpolation weights.
-        wx: (R, S, W) column-interpolation weights.
+        feature_map: (B, H, W, C) or (H, W, C).
+        wy: (B, R, S, H) / (R, S, H) row-interpolation weights.
+        wx: (B, R, S, W) / (R, S, W) column-interpolation weights.
         crop_size: S (must be even when pooling).
         tile_r: ROIs per grid program.
         pool: fuse the 2x2/2 max-pool.
 
     Returns:
-        (R, S/2, S/2, C) when pooling else (R, S, S, C).
+        (B, R, S/2, S/2, C) (or unbatched if inputs were unbatched; S
+        instead of S/2 when not pooling).
     """
-    h, w, c = feature_map.shape
-    r = wy.shape[0]
+    unbatched = feature_map.ndim == 3
+    if unbatched:
+        feature_map = feature_map[None]
+        wy = wy[None]
+        wx = wx[None]
+
+    b, h, w, c = feature_map.shape
+    r = wy.shape[1]
     s = crop_size
     out_s = s // 2 if pool else s
 
     num_tiles = -(-r // tile_r)
     pad = num_tiles * tile_r - r
     if pad:
-        wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
-        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+        wy = jnp.pad(wy, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, 0), (0, pad), (0, 0), (0, 0)))
 
-    fm2d = feature_map.reshape(h, w * c)
+    fm2d = feature_map.reshape(b, h, w * c)
     dtype = feature_map.dtype
     wy = wy.astype(dtype)
     wx = wx.astype(dtype)
 
     out = pl.pallas_call(
         partial(_roi_kernel, tile_r=tile_r, s=s, pool=pool),
-        grid=(num_tiles,),
+        grid=(b, num_tiles),
         in_specs=[
             pl.BlockSpec(
-                (tile_r, s, h), lambda i: (i, 0, 0),
+                (1, tile_r, s, h), lambda bi, i: (bi, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (tile_r, s, w), lambda i: (i, 0, 0),
+                (1, tile_r, s, w), lambda bi, i: (bi, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (h, w * c), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (1, h, w * c), lambda bi, i: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (tile_r, out_s, out_s, c), lambda i: (i, 0, 0, 0),
+            (1, tile_r, out_s, out_s, c),
+            lambda bi, i: (bi, i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (num_tiles * tile_r, out_s, out_s, c), dtype
+            (b, num_tiles * tile_r, out_s, out_s, c), dtype
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * r * s * (h + s) * w * c,
+            flops=2 * b * r * s * (h + s) * w * c,
             bytes_accessed=(
-                h * w * c * 2 + r * out_s * out_s * c * 2
+                b * (h * w * c * 2 + r * out_s * out_s * c * 2)
             ),
             transcendentals=0,
         ),
     )(wy, wx, fm2d)
-    return out[:r]
+    out = out[:, :r]
+    return out[0] if unbatched else out

@@ -144,3 +144,38 @@ def roi_crop_pool(feature_map, rois, im_shape, crop_size=14, pool=True):
     r, s, _, c = crops.shape
     crops = crops.reshape(r, s // 2, 2, s // 2, 2, c)
     return jnp.max(crops, axis=(2, 4))
+
+
+def roi_crop_pool_batch(feature_maps, rois, im_shape, crop_size=14,
+                        pool=True):
+    """Batched :func:`roi_crop_pool`: (B, H, W, C) maps + (B, R, 4) rois.
+
+    On TPU this is ONE fused Pallas call with a (batch, roi-tile) grid —
+    never vmap a pallas_call, its batching path compiles far slower.
+    """
+    h, w = im_shape[0], im_shape[1]
+    x1, y1, x2, y2 = jnp.split(rois.astype(jnp.float32), 4, axis=-1)
+    boxes = jnp.concatenate(
+        [y1 / h, x1 / w, y2 / h, x2 / w], axis=-1
+    )  # (B, R, 4)
+
+    if _on_tpu():
+        from luminoth_tpu.ops.pallas.roi_align_kernel import roi_align_pallas
+
+        fh, fw = feature_maps.shape[1], feature_maps.shape[2]
+        wy, wx = jax.vmap(
+            lambda bx: interp_weights(bx, fh, fw, crop_size)
+        )(boxes)
+        return roi_align_pallas(
+            feature_maps, wy, wx, crop_size, pool=pool
+        )
+
+    def one(fm, image_boxes):
+        crops = crop_and_resize(fm, image_boxes, crop_size)
+        if not pool:
+            return crops
+        r, s, _, c = crops.shape
+        crops = crops.reshape(r, s // 2, 2, s // 2, 2, c)
+        return jnp.max(crops, axis=(2, 4))
+
+    return jax.vmap(one)(feature_maps, boxes)
