@@ -406,6 +406,37 @@ def convert_backbone(pth_path, out_path, architecture):
     click.echo(f"Converted {count} arrays to {out_path}.")
 
 
+@checkpoint.command(
+    "download-backbone",
+    help="Download + convert pretrained backbone weights (torchvision zoo).",
+)
+@click.argument("architecture")
+@click.option("--output", "-o", default=None, help="Output .npz path.")
+def download_backbone_cmd(architecture, output):
+    import os
+
+    from luminoth_tpu.tools.checkpoint.convert import (
+        convert_backbone_file,
+        download_backbone,
+    )
+    from luminoth_tpu.utils.homedir import get_home
+
+    try:
+        pth = download_backbone(architecture)
+    except Exception as e:
+        click.echo(f"Download failed ({e}). If offline, download the "
+                   "torchvision checkpoint manually and run "
+                   "convert-backbone.")
+        return
+    output = output or os.path.join(
+        get_home(), "pretrained", f"{architecture}.npz"
+    )
+    count = convert_backbone_file(pth, output, architecture)
+    click.echo(f"Saved {count} arrays to {output}. Use it with:\n"
+               f"  model.base_network.weights: {output}\n"
+               f"  model.base_network.torchvision_compat: True")
+
+
 @checkpoint.command(help="Download a remote checkpoint.")
 @click.argument("id_or_alias")
 def download(id_or_alias):

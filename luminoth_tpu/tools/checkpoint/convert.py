@@ -114,6 +114,47 @@ def convert_torchvision_vgg16(state_dict, scope="feature_extractor"):
     return flat
 
 
+# torchvision model-zoo URLs for the supported backbones (the native
+# replacement for the reference's download.tensorflow.org slim tarballs,
+# checkpoint_downloader.py:13-23).
+BACKBONE_URLS = {
+    "resnet_v1_50": "https://download.pytorch.org/models/resnet50-0676ba61.pth",
+    "resnet_v1_101": "https://download.pytorch.org/models/resnet101-63fe2227.pth",
+    "resnet_v1_152": "https://download.pytorch.org/models/resnet152-394f9c45.pth",
+    "truncated_vgg_16": "https://download.pytorch.org/models/vgg16-397923af.pth",
+    "vgg_16": "https://download.pytorch.org/models/vgg16-397923af.pth",
+}
+
+
+def download_backbone(architecture, dest_dir=None):
+    """Download the torchvision checkpoint for an architecture.
+
+    Returns the local .pth path (cached under the toolkit home).
+    """
+    import os
+    import urllib.request
+
+    from luminoth_tpu.utils.homedir import get_home
+
+    if architecture not in BACKBONE_URLS:
+        raise ValueError(f"no pretrained weights known for {architecture}")
+    url = BACKBONE_URLS[architecture]
+    dest_dir = dest_dir or os.path.join(get_home(), "pretrained")
+    os.makedirs(dest_dir, exist_ok=True)
+    path = os.path.join(dest_dir, os.path.basename(url))
+    if not os.path.exists(path):
+        logger.info("Downloading %s → %s", url, path)
+        with urllib.request.urlopen(url, timeout=300) as resp:
+            with open(path + ".tmp", "wb") as f:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+        os.replace(path + ".tmp", path)
+    return path
+
+
 def convert_backbone_file(pth_path, out_path, architecture):
     """Convert a torchvision checkpoint file to a native flat ``.npz``."""
     import torch

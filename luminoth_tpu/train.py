@@ -331,6 +331,7 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
         trace_stop_step = int(state.step) + 5
         logger.info("Profiler trace started → %s", trace_dir)
 
+    log_every = int(train_cfg.get("log_every_steps") or 1)
     step = int(state.step)
     try:
         for batch in batches():
@@ -339,19 +340,22 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
             device_batch = _device_batch(batch, mesh)
             t0 = time.time()
             state, metrics = train_step(state, device_batch, rng)
-            loss = float(metrics["total_loss"])
-            step = int(state.step)
+            step += 1
             dt = time.time() - t0
 
-            if not np.isfinite(loss):
-                raise FloatingPointError(
-                    f"non-finite loss at step {step}: {loss}"
+            # Materializing the loss synchronizes with the device; do it on
+            # the logging cadence only so steps pipeline (the dispatch above
+            # is async).
+            if step % log_every == 0:
+                loss = float(metrics["total_loss"])
+                if not np.isfinite(loss):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}: {loss}"
+                    )
+                logger.info(
+                    "step: %d, file: %s, train_loss: %.4f, in %.2fs",
+                    step, batch.get("filename", [""])[0], loss, dt,
                 )
-
-            logger.info(
-                "step: %d, file: %s, train_loss: %.4f, in %.2fs",
-                step, batch.get("filename", [""])[0], loss, dt,
-            )
 
             if writer is not None and (
                 (summary_steps and step % summary_steps == 0)
