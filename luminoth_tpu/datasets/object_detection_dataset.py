@@ -107,8 +107,19 @@ def preprocess_image(config, image, bboxes=None, rng=None, augment=False):
 
 
 def canvas_shape(config):
-    """The static (height, width) canvas images are padded to."""
+    """The static (height, width) canvas images are padded to.
+
+    Defaults to the square ``max_size`` canvas; override with explicit
+    ``canvas_height`` / ``canvas_width`` (e.g. a 608x1024 landscape canvas
+    for datasets with a dominant orientation — less padding, same single
+    compiled program).
+    """
     prep = config.dataset.image_preprocessing
+    if prep.get("canvas_height"):
+        return (
+            _round_up(int(prep.canvas_height), 32),
+            _round_up(int(prep.canvas_width), 32),
+        )
     if prep.get("fixed_height"):
         return int(prep.fixed_height), int(prep.fixed_width)
     size = int(prep.get("max_size") or prep.get("min_size") or 1024)
