@@ -266,6 +266,9 @@ class FasterRCNN(nn.Module):
                     total_max_detections=p_cfg.total_max_detections,
                     min_prob_threshold=float(p_cfg.min_prob_threshold or 0.0),
                     variances=variances,
+                    pre_nms_max_candidates=int(
+                        p_cfg.get("pre_nms_max_candidates") or 0
+                    ),
                 )
             )
             detections = final(

@@ -17,7 +17,12 @@ from luminoth_tpu.ops.nms import nms_padded
 
 @partial(
     jax.jit,
-    static_argnames=("num_classes", "class_max_detections", "total_max_detections"),
+    static_argnames=(
+        "num_classes",
+        "class_max_detections",
+        "total_max_detections",
+        "pre_nms_max_candidates",
+    ),
 )
 def rcnn_proposal(
     proposals,
@@ -31,6 +36,7 @@ def rcnn_proposal(
     total_max_detections=300,
     min_prob_threshold=0.0,
     variances=(0.1, 0.2),
+    pre_nms_max_candidates=0,
 ):
     """Turn RCNN head outputs into final padded detections for one image.
 
@@ -62,6 +68,18 @@ def rcnn_proposal(
         valid = (
             proposals_valid & area_ok & (class_prob >= min_prob_threshold)
         )
+        if pre_nms_max_candidates and pre_nms_max_candidates < objects.shape[0]:
+            # Optional top-k candidate cap before NMS: shrinks the padded
+            # suppression sweep. Score-sorted, so every potential suppressor
+            # of a kept box is included; outputs differ from the exact sweep
+            # only if the kept set would reach past the cap.
+            masked = jnp.where(valid, class_prob, -1.0)
+            top_scores, top_idx = jax.lax.top_k(
+                masked, pre_nms_max_candidates
+            )
+            objects = objects[top_idx]
+            class_prob = class_prob[top_idx]
+            valid = top_scores > -1.0
         keep_idx, keep_mask = nms_padded(
             objects, class_prob, class_nms_threshold, class_max_detections,
             valid=valid,
