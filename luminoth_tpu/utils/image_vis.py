@@ -129,6 +129,74 @@ def draw_ssd_anchor_matches(image, prediction_dict=None, anchors=None,
     return np.asarray(pil)
 
 
+def draw_top_proposals(image, prediction_dict=None, min_score=0.8, **kwargs):
+    """RPN proposals above a score threshold (reference draw_top_proposals)."""
+    pil = _to_pil(image)
+    rpn = (prediction_dict or {}).get("rpn_prediction", {})
+    proposals = rpn.get("proposals")
+    if proposals is not None:
+        scores = np.asarray(rpn.get("scores"))
+        valid = np.asarray(
+            rpn.get("proposals_valid", np.ones_like(scores))
+        ).astype(bool)
+        keep = valid & (scores >= min_score)
+        draw = ImageDraw.Draw(pil)
+        _draw_boxes(
+            draw, np.asarray(proposals)[keep], PROPOSAL_COLOR,
+            texts=[f"{s:.2f}" for s in scores[keep]],
+        )
+    return np.asarray(pil)
+
+
+def draw_rcnn_cls_batch(image, prediction_dict=None, gt_boxes=None, **kwargs):
+    """RCNN minibatch proposals colored fg/bg with their target labels."""
+    pil = _to_pil(image)
+    cls_pred = (prediction_dict or {}).get("classification_prediction", {})
+    target = cls_pred.get("target", {})
+    labels = target.get("cls")
+    proposals = cls_pred.get("proposals")
+    if labels is not None and proposals is not None:
+        labels = np.asarray(labels)
+        proposals = np.asarray(proposals)
+        mask = np.asarray(
+            target.get("selected_mask", np.ones_like(labels))
+        ).astype(bool)
+        draw = ImageDraw.Draw(pil)
+        fg = mask & (labels > 0)
+        bg = mask & (labels == 0)
+        _draw_boxes(
+            draw, proposals[fg], FG_COLOR,
+            texts=[int(v) for v in labels[fg]],
+        )
+        sel = proposals[bg][:20]
+        _draw_boxes(draw, sel, BG_COLOR, width=1)
+    if gt_boxes is not None and len(gt_boxes):
+        gt = np.asarray(gt_boxes)
+        draw = ImageDraw.Draw(pil)
+        _draw_boxes(draw, gt[gt[:, 4] >= 0], GT_COLOR)
+    return np.asarray(pil)
+
+
+def draw_rpn_bbox_targets(image, prediction_dict=None, all_anchors=None,
+                          **kwargs):
+    """Foreground anchors with their regression-target boxes (decoded)."""
+    from luminoth_tpu.ops import np_boxes
+
+    pil = _to_pil(image)
+    rpn = (prediction_dict or {}).get("rpn_prediction", {})
+    targets = rpn.get("rpn_cls_target")
+    offsets = rpn.get("rpn_bbox_target")
+    if targets is not None and offsets is not None and all_anchors is not None:
+        targets = np.asarray(targets)
+        fg = targets == 1.0
+        anchors = np.asarray(all_anchors)[fg]
+        decoded = np_boxes.decode(anchors, np.asarray(offsets)[fg])
+        draw = ImageDraw.Draw(pil)
+        _draw_boxes(draw, anchors, BG_COLOR, width=1)
+        _draw_boxes(draw, decoded, FG_COLOR, width=1)
+    return np.asarray(pil)
+
+
 # Per-model × per-mode registry (reference image_vis.py:21-116).
 summaries_fn = {
     "fasterrcnn": {
@@ -137,7 +205,10 @@ summaries_fn = {
         "debug": [
             draw_gt_boxes,
             draw_rpn_proposals,
+            draw_top_proposals,
             draw_rpn_targets,
+            draw_rpn_bbox_targets,
+            draw_rcnn_cls_batch,
             draw_object_predictions,
         ],
     },
