@@ -236,9 +236,7 @@ def create(config_files, override_params, entity, alias):
     from flax import serialization
 
     config = get_config(
-        __builtins__["list"](config_files)
-        if isinstance(__builtins__, dict)
-        else [c for c in config_files],
+        [c for c in config_files],
         override_params=[o for o in override_params],
     )
     job_dir = config.train.get("job_dir", "jobs/")

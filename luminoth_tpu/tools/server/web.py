@@ -7,11 +7,11 @@ forced low so the frontend slider can re-filter). Implemented on the
 stdlib's threading HTTP server — same API surface, no Flask dependency.
 """
 
-import cgi
 import io
 import json
 import logging
 import os
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -27,6 +27,32 @@ MIN_PROB_FOR_FRONTEND = 0.01
 
 def _template_path():
     return os.path.join(os.path.dirname(__file__), "templates", "index.html")
+
+
+def _parse_multipart(body, content_type):
+    """Minimal multipart/form-data parser (the stdlib cgi module is
+    deprecated/removed in newer pythons). Returns (image_bytes, params)."""
+    match = re.search(r'boundary="?([^";,]+)"?', content_type)
+    if not match:
+        return None, {}
+    boundary = b"--" + match.group(1).encode()
+    image_bytes = None
+    params = {}
+    for part in body.split(boundary):
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        header_blob, _, content = part.partition(b"\r\n\r\n")
+        headers = header_blob.decode("utf-8", "replace")
+        name_match = re.search(r'name="([^"]+)"', headers)
+        if not name_match:
+            continue
+        name = name_match.group(1)
+        if name == "image":
+            image_bytes = content
+        else:
+            params[name] = content.decode("utf-8", "replace").strip()
+    return image_bytes, params
 
 
 def start_network(config, class_labels):
@@ -72,25 +98,14 @@ class Handler(BaseHTTPRequestHandler):
             return
 
         content_type = self.headers.get("Content-Type", "")
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
         image_bytes = None
         params = {}
         if content_type.startswith("multipart/form-data"):
-            form = cgi.FieldStorage(
-                fp=self.rfile,
-                headers=self.headers,
-                environ={
-                    "REQUEST_METHOD": "POST",
-                    "CONTENT_TYPE": content_type,
-                },
-            )
-            if "image" in form:
-                image_bytes = form["image"].file.read()
-            for key in ("min_prob", "total"):
-                if key in form:
-                    params[key] = form.getvalue(key)
+            image_bytes, params = _parse_multipart(body, content_type)
         else:
-            length = int(self.headers.get("Content-Length", 0))
-            image_bytes = self.rfile.read(length)
+            image_bytes = body
 
         if not image_bytes:
             self._send_json({"error": "missing image"}, status=400)

@@ -129,6 +129,34 @@ class TestServer:
                 payload = json.load(resp)
             assert len(payload["objects"]) == 2
             assert payload["objects"][0]["label"] == "cat"
+
+            # POST multipart with a min_prob filter field.
+            boundary = "xxBOUNDARYxx"
+            img_bytes = buf.getvalue()
+            body = b""
+            body += f"--{boundary}\r\n".encode()
+            body += (
+                b'Content-Disposition: form-data; name="image"; '
+                b'filename="a.jpg"\r\nContent-Type: image/jpeg\r\n\r\n'
+            ) + img_bytes + b"\r\n"
+            body += f"--{boundary}\r\n".encode()
+            body += (
+                b'Content-Disposition: form-data; name="min_prob"\r\n\r\n'
+                b"0.5\r\n"
+            )
+            body += f"--{boundary}--\r\n".encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/fasterrcnn/predict/",
+                data=body,
+                method="POST",
+                headers={
+                    "Content-Type": f"multipart/form-data; boundary={boundary}"
+                },
+            )
+            with urllib.request.urlopen(req, timeout=5) as resp:
+                payload = json.load(resp)
+            # dog (0.2) filtered by min_prob 0.5
+            assert len(payload["objects"]) == 1
         finally:
             httpd.shutdown()
 
