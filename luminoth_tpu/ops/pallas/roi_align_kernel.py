@@ -48,10 +48,88 @@ def _roi_kernel(wy_ref, wx_ref, fm_ref, out_ref, *, tile_r, s, pool):
         out_ref[0, j] = crop.astype(out_ref.dtype)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def roi_align_pallas(feature_map, wy, wx, crop_size, pool=True):
+    """Differentiable wrapper — see :func:`_roi_align_impl`.
+
+    Custom VJP because pallas_call has no autodiff rule: the crop is linear
+    in the feature map, so the backward pass is the transposed pair of
+    interpolation contractions (chunked einsums accumulated over ROI
+    chunks); the fused maxpool backprops by recomputing the pre-pool crop
+    and routing cotangents to the window maxima. Gradients w.r.t. the
+    interpolation weights are not propagated (proposals are stop_gradient'd
+    in the detector, matching the reference's design —
+    fasterrcnn.py:147).
+    """
+    return _roi_align_impl(feature_map, wy, wx, crop_size, pool=pool)
+
+
+def _roi_align_fwd(feature_map, wy, wx, crop_size, pool):
+    out = _roi_align_impl(feature_map, wy, wx, crop_size, pool=pool)
+    return out, (feature_map, wy, wx)
+
+
+def _roi_align_bwd(crop_size, pool, residuals, g):
+    feature_map, wy, wx = residuals
+    unbatched = feature_map.ndim == 3
+    if unbatched:
+        feature_map = feature_map[None]
+        wy, wx, g = wy[None], wx[None], g[None]
+
+    s = crop_size
+    b, h, w, c = feature_map.shape
+    r = wy.shape[1]
+    chunk = 256
+    num_chunks = -(-r // chunk)
+    pad = num_chunks * chunk - r
+
+    wy_p = jnp.pad(wy, ((0, 0), (0, pad), (0, 0), (0, 0))).astype(jnp.float32)
+    wx_p = jnp.pad(wx, ((0, 0), (0, pad), (0, 0), (0, 0))).astype(jnp.float32)
+    g_p = jnp.pad(
+        g, ((0, 0), (0, pad)) + ((0, 0),) * (g.ndim - 2)
+    ).astype(jnp.float32)
+
+    fm32 = feature_map.astype(jnp.float32)
+
+    def chunk_slices(i):
+        sl = (slice(None), slice(i * chunk, (i + 1) * chunk))
+        return wy_p[sl], wx_p[sl], g_p[sl]
+
+    def body(i, d_fm):
+        wy_c, wx_c, g_c = chunk_slices(i)
+        if pool:
+            # Recompute the pre-pool crop for this chunk to find maxima.
+            rows = jnp.einsum("brsh,bhwc->brswc", wy_c, fm32)
+            crop = jnp.einsum("brtw,brswc->brstc", wx_c, rows)
+            win = crop.reshape(b, chunk, s // 2, 2, s // 2, 2, c)
+            win_max = jnp.max(win, axis=(3, 5), keepdims=True)
+            is_max = (win == win_max).astype(jnp.float32)
+            ties = jnp.sum(is_max, axis=(3, 5), keepdims=True)
+            g_win = g_c.reshape(b, chunk, s // 2, 1, s // 2, 1, c)
+            g_crop = (is_max / ties * g_win).reshape(b, chunk, s, s, c)
+        else:
+            g_crop = g_c
+        d_rows = jnp.einsum("brtw,brstc->brswc", wx_c, g_crop)
+        return d_fm + jnp.einsum("brsh,brswc->bhwc", wy_c, d_rows)
+
+    d_fm = jax.lax.fori_loop(
+        0, num_chunks, body, jnp.zeros((b, h, w, c), jnp.float32)
+    )
+    d_fm = d_fm.astype(feature_map.dtype)
+    d_wy = jnp.zeros_like(wy)
+    d_wx = jnp.zeros_like(wx)
+    if unbatched:
+        d_fm, d_wy, d_wx = d_fm[0], d_wy[0], d_wx[0]
+    return d_fm, d_wy, d_wx
+
+
+roi_align_pallas.defvjp(_roi_align_fwd, _roi_align_bwd)
+
+
 @partial(
     jax.jit, static_argnames=("crop_size", "tile_r", "pool")
 )
-def roi_align_pallas(feature_map, wy, wx, crop_size, tile_r=8, pool=True):
+def _roi_align_impl(feature_map, wy, wx, crop_size, tile_r=8, pool=True):
     """Fused crop(+pool) over precomputed interpolation matrices.
 
     Batched natively: the grid is (batch, roi_tiles) — no vmap needed (and

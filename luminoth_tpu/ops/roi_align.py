@@ -134,9 +134,7 @@ def roi_crop_pool(feature_map, rois, im_shape, crop_size=14, pool=True):
 
         fh, fw = feature_map.shape[0], feature_map.shape[1]
         wy, wx = interp_weights(boxes, fh, fw, crop_size)
-        return roi_align_pallas(
-            feature_map, wy, wx, crop_size, pool=pool
-        )
+        return roi_align_pallas(feature_map, wy, wx, crop_size, pool)
 
     crops = crop_and_resize(feature_map, boxes, crop_size)
     if not pool:
@@ -166,9 +164,7 @@ def roi_crop_pool_batch(feature_maps, rois, im_shape, crop_size=14,
         wy, wx = jax.vmap(
             lambda bx: interp_weights(bx, fh, fw, crop_size)
         )(boxes)
-        return roi_align_pallas(
-            feature_maps, wy, wx, crop_size, pool=pool
-        )
+        return roi_align_pallas(feature_maps, wy, wx, crop_size, pool)
 
     def one(fm, image_boxes):
         crops = crop_and_resize(fm, image_boxes, crop_size)
