@@ -92,8 +92,12 @@ def _roi_align_bwd(crop_size, pool, residuals, g):
     fm32 = feature_map.astype(jnp.float32)
 
     def chunk_slices(i):
-        sl = (slice(None), slice(i * chunk, (i + 1) * chunk))
-        return wy_p[sl], wx_p[sl], g_p[sl]
+        start = i * chunk
+        take = partial(
+            jax.lax.dynamic_slice_in_dim, start_index=start,
+            slice_size=chunk, axis=1,
+        )
+        return take(wy_p), take(wx_p), take(g_p)
 
     def body(i, d_fm):
         wy_c, wx_c, g_c = chunk_slices(i)
