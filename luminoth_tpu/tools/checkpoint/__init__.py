@@ -33,11 +33,10 @@ from luminoth_tpu.utils.homedir import get_home
 CHECKPOINT_INDEX = "checkpoints.json"
 CHECKPOINT_PATH = "checkpoints"
 
-REMOTE_INDEX_URL = os.environ.get(
-    "LUMI_REMOTE_INDEX_URL",
-    "https://github.com/tryolabs/luminoth/releases/download/v0.1.0/"
-    "checkpoints.json",
-)
+# Remote zoo index URL. No default: the reference's hosted checkpoints are
+# TF-format and not loadable here; point this at an index of native bundles
+# (produced by `lumi checkpoint create` + `export`).
+REMOTE_INDEX_URL = os.environ.get("LUMI_REMOTE_INDEX_URL", "")
 
 
 def get_checkpoints_directory():
@@ -99,6 +98,10 @@ def fetch_remote_index():
     """Fetch the remote checkpoint index (requires network)."""
     import urllib.request
 
+    if not REMOTE_INDEX_URL:
+        raise RuntimeError(
+            "No remote index configured; set LUMI_REMOTE_INDEX_URL."
+        )
     with urllib.request.urlopen(REMOTE_INDEX_URL, timeout=30) as resp:
         remote = json.load(resp)
     db = read_checkpoint_db()
