@@ -122,24 +122,19 @@ class FasterRCNN(nn.Module):
         )(feature_map, train=train)
 
         proposals_cfg = model_cfg.rpn.proposals
-        propose = jax.vmap(
-            lambda prob, pred, shape: rpn_proposal(
-                prob,
-                pred,
-                all_anchors,
-                shape,
-                pre_nms_top_n=proposals_cfg.pre_nms_top_n,
-                post_nms_top_n=proposals_cfg.post_nms_top_n,
-                nms_threshold=float(proposals_cfg.nms_threshold),
-                min_size=proposals_cfg.min_size,
-                apply_nms=bool(proposals_cfg.apply_nms),
-                clip_after_nms=bool(proposals_cfg.clip_after_nms),
-                filter_outside_anchors=bool(proposals_cfg.filter_outside_anchors),
-                min_prob_threshold=float(proposals_cfg.min_prob_threshold),
-            )
-        )
-        proposal_pred = propose(
-            rpn_out["rpn_cls_prob"], rpn_out["rpn_bbox_pred"], im_shape
+        proposal_pred = rpn_proposal(
+            rpn_out["rpn_cls_prob"],
+            rpn_out["rpn_bbox_pred"],
+            all_anchors,
+            im_shape,
+            pre_nms_top_n=proposals_cfg.pre_nms_top_n,
+            post_nms_top_n=proposals_cfg.post_nms_top_n,
+            nms_threshold=float(proposals_cfg.nms_threshold),
+            min_size=proposals_cfg.min_size,
+            apply_nms=bool(proposals_cfg.apply_nms),
+            clip_after_nms=bool(proposals_cfg.clip_after_nms),
+            filter_outside_anchors=bool(proposals_cfg.filter_outside_anchors),
+            min_prob_threshold=float(proposals_cfg.min_prob_threshold),
         )
 
         rpn_prediction = dict(rpn_out)
@@ -253,26 +248,21 @@ class FasterRCNN(nn.Module):
 
         if not train:
             p_cfg = rcnn_cfg.proposals
-            final = jax.vmap(
-                lambda props, deltas, prob, valid, shape: rcnn_proposal(
-                    props,
-                    deltas,
-                    prob,
-                    valid,
-                    shape,
-                    self.num_classes,
-                    class_max_detections=p_cfg.class_max_detections,
-                    class_nms_threshold=float(p_cfg.class_nms_threshold),
-                    total_max_detections=p_cfg.total_max_detections,
-                    min_prob_threshold=float(p_cfg.min_prob_threshold or 0.0),
-                    variances=variances,
-                    pre_nms_max_candidates=int(
-                        p_cfg.get("pre_nms_max_candidates") or 0
-                    ),
-                )
-            )
-            detections = final(
-                proposals, bbox_offsets, cls_prob, proposals_valid, im_shape
+            detections = rcnn_proposal(
+                proposals,
+                bbox_offsets,
+                cls_prob,
+                proposals_valid,
+                im_shape,
+                self.num_classes,
+                class_max_detections=p_cfg.class_max_detections,
+                class_nms_threshold=float(p_cfg.class_nms_threshold),
+                total_max_detections=p_cfg.total_max_detections,
+                min_prob_threshold=float(p_cfg.min_prob_threshold or 0.0),
+                variances=variances,
+                pre_nms_max_candidates=int(
+                    p_cfg.get("pre_nms_max_candidates") or 0
+                ),
             )
             classification["objects"] = detections["objects"]
             classification["labels"] = detections["labels"]

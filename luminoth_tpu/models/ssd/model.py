@@ -148,24 +148,18 @@ class SSD(nn.Module):
 
         if not train or debug:
             proposals_cfg = model_cfg.proposals
-            im_shape = jnp.asarray(self.image_shape, dtype=jnp.float32)
-            propose = jax.vmap(
-                lambda probs, offsets: ssd_proposal(
-                    probs,
-                    offsets,
-                    anchors,
-                    im_shape,
-                    num_classes,
-                    proposals_cfg.class_nms_threshold,
-                    proposals_cfg.class_max_detections,
-                    proposals_cfg.total_max_detections,
-                    proposals_cfg.min_prob_threshold or 0.0,
-                    tuple(model_cfg.variances),
-                    proposals_cfg.get("pre_nms_max_candidates", 1000),
-                )
-            )
-            prediction_dict["classification_prediction"] = propose(
-                class_probabilities, bbox_offsets
+            prediction_dict["classification_prediction"] = ssd_proposal(
+                class_probabilities,
+                bbox_offsets,
+                anchors,
+                jnp.asarray(self.image_shape, dtype=jnp.float32),
+                num_classes,
+                float(proposals_cfg.class_nms_threshold),
+                proposals_cfg.class_max_detections,
+                proposals_cfg.total_max_detections,
+                proposals_cfg.min_prob_threshold or 0.0,
+                tuple(model_cfg.variances),
+                proposals_cfg.get("pre_nms_max_candidates", 1000),
             )
 
         if debug:

@@ -1,15 +1,17 @@
-"""SSD inference proposal stage: per-class NMS with padded outputs.
+"""SSD inference proposal stage: per-class NMS with padded outputs, batched.
 
 reference: luminoth/models/ssd/proposal.py:41-171. The reference loops over
-classes in python with dynamic boolean_masks; here the class loop is a
-``vmap`` over a (C, ...) axis and every filter is a validity mask:
+classes in python with dynamic boolean_masks; here classes form an
+(image × class) group axis consumed by the grouped padded NMS (one Pallas
+sweep on TPU), and every filter is a validity mask:
 
 1. decode anchors once (regression is class-agnostic), clip, area filter;
 2. per class: min-prob mask, top-k candidate prefilter, padded NMS;
 3. flatten all class survivors and take the global ``total_max_detections``
    top-k by probability.
 
-Outputs are fixed-size with an explicit ``valid`` mask.
+Outputs are fixed-size with an explicit ``valid`` mask. Unbatched inputs
+are auto-wrapped.
 """
 
 from functools import partial
@@ -18,13 +20,14 @@ import jax
 import jax.numpy as jnp
 
 from luminoth_tpu.ops.boxes import clip_boxes, decode
-from luminoth_tpu.ops.nms import nms_padded
+from luminoth_tpu.ops.nms import nms_padded_batch
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "num_classes",
+        "class_nms_threshold",
         "class_max_detections",
         "total_max_detections",
         "pre_nms_max_candidates",
@@ -46,60 +49,75 @@ def ssd_proposal(
     """Turn raw SSD outputs into final padded detections.
 
     Args:
-        cls_prob: (A, C+1) softmax probabilities (col 0 = background).
-        loc_pred: (A, 4) box offsets.
+        cls_prob: (B, A, C+1) softmax probabilities (col 0 = background).
+        loc_pred: (B, A, 4) box offsets.
         all_anchors: (A, 4) anchors.
         im_shape: (height, width) to clip against.
         pre_nms_max_candidates: static per-class candidate cap before NMS.
 
     Returns:
-        dict with ``objects`` (T, 4), ``labels`` (T,), ``probs`` (T,),
-        ``valid`` (T,) for T = total_max_detections.
+        dict with ``objects`` (B, T, 4), ``labels`` (B, T), ``probs``
+        (B, T), ``valid`` (B, T) for T = total_max_detections.
     """
-    anchors = all_anchors.astype(jnp.float32)
-    num_anchors = anchors.shape[0]
+    unbatched = cls_prob.ndim == 2
+    if unbatched:
+        cls_prob = cls_prob[None]
+        loc_pred = loc_pred[None]
 
-    decoded = decode(anchors, loc_pred, variances=variances)
-    clipped = clip_boxes(decoded, im_shape)
+    anchors = all_anchors.astype(jnp.float32)
+    b, num_anchors = cls_prob.shape[0], anchors.shape[0]
+    c = num_classes
+
+    decoded = decode(anchors[None], loc_pred, variances=variances)
+    clipped = clip_boxes(decoded, im_shape)  # (B, A, 4)
     x1, y1, x2, y2 = jnp.split(clipped, 4, axis=-1)
     area_valid = (
         jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0) > 0.0
-    )[:, 0]
+    )[..., 0]  # (B, A)
+
+    scores = cls_prob[..., 1:].transpose(0, 2, 1)  # (B, C, A)
+    valid = (
+        (scores >= min_prob_threshold) & area_valid[:, None, :]
+    )
 
     k = min(pre_nms_max_candidates, num_anchors)
+    masked = jnp.where(valid, scores, -1.0)
+    top_scores, top_idx = jax.lax.top_k(masked, k)  # (B, C, K)
 
-    def per_class(class_scores):
-        valid = (class_scores >= min_prob_threshold) & area_valid
-        masked = jnp.where(valid, class_scores, -1.0)
-        top_scores, top_idx = jax.lax.top_k(masked, k)
-        cand_boxes = clipped[top_idx]
-        cand_valid = top_scores > -1.0
-        keep_idx, keep_mask = nms_padded(
-            cand_boxes,
-            top_scores,
-            class_nms_threshold,
-            class_max_detections,
-            valid=cand_valid,
-        )
-        return cand_boxes[keep_idx], top_scores[keep_idx], keep_mask
+    # Gather per-class candidate boxes (regression is class-agnostic).
+    boxes_g = jnp.take_along_axis(
+        clipped[:, None].repeat(c, axis=1).reshape(b * c, num_anchors, 4),
+        top_idx.reshape(b * c, k)[..., None],
+        axis=1,
+    )  # (B·C, K, 4)
+    scores_g = top_scores.reshape(b * c, k)
+    valid_g = scores_g > -1.0
 
-    class_scores = jnp.swapaxes(cls_prob[:, 1:], 0, 1)  # (C, A)
-    boxes_c, probs_c, keep_c = jax.vmap(per_class)(class_scores)
-
-    labels_c = jnp.broadcast_to(
-        jnp.arange(num_classes)[:, None], keep_c.shape
+    keep_idx, keep_mask = nms_padded_batch(
+        boxes_g, scores_g, float(class_nms_threshold), class_max_detections,
+        valid=valid_g,
     )
+    boxes_k = jnp.take_along_axis(boxes_g, keep_idx[..., None], axis=1)
+    scores_k = jnp.take_along_axis(scores_g, keep_idx, axis=1)
 
-    flat_boxes = boxes_c.reshape(-1, 4)
-    flat_probs = jnp.where(keep_c, probs_c, -1.0).reshape(-1)
-    flat_labels = labels_c.reshape(-1)
+    m = class_max_detections
+    flat_boxes = boxes_k.reshape(b, c * m, 4)
+    flat_probs = jnp.where(keep_mask, scores_k, -1.0).reshape(b, c * m)
+    labels = jnp.broadcast_to(
+        jnp.arange(c)[None, :, None], (b, c, m)
+    ).reshape(b, c * m)
 
     top_probs, top_pos = jax.lax.top_k(
-        flat_probs, min(total_max_detections, flat_probs.shape[0])
+        flat_probs, min(total_max_detections, c * m)
     )
-    return {
-        "objects": flat_boxes[top_pos],
-        "labels": flat_labels[top_pos],
+    result = {
+        "objects": jnp.take_along_axis(
+            flat_boxes, top_pos[..., None], axis=1
+        ),
+        "labels": jnp.take_along_axis(labels, top_pos, axis=1),
         "probs": jnp.maximum(top_probs, 0.0),
         "valid": top_probs > -1.0,
     }
+    if unbatched:
+        result = {k2: v[0] for k2, v in result.items()}
+    return result

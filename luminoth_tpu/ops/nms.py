@@ -99,6 +99,28 @@ def nms_padded(boxes, scores, iou_threshold, max_outputs, valid=None, block_size
     if block_size is None:
         block_size = _default_block(n)
     block = min(block_size, n)
+    alive = _alive_sorted_xla(boxes_s, valid_s, iou_threshold, block)
+    alive = alive[:n]
+
+    # Survivors in score order: top max_outputs alive entries.
+    alive_scores = jnp.where(alive, masked_scores[order[:n]], NEG_INF)
+    top_scores, top_pos = jax.lax.top_k(alive_scores, min(max_outputs, n))
+    keep_mask = top_scores > NEG_INF
+    indices = order[top_pos]
+
+    if max_outputs > n:
+        extra = max_outputs - n
+        indices = jnp.pad(indices, (0, extra))
+        keep_mask = jnp.pad(keep_mask, (0, extra))
+    return indices, keep_mask
+
+
+def _alive_sorted_xla(boxes_s, valid_s, iou_threshold, block):
+    """Partitioned greedy sweep over score-sorted candidates (XLA loops).
+
+    Returns the (padded) alive mask over the sorted order.
+    """
+    n = boxes_s.shape[0]
     num_blocks = -(-n // block)
     pad = num_blocks * block - n
     if pad:
@@ -129,19 +151,78 @@ def nms_padded(boxes, scores, iou_threshold, max_outputs, valid=None, block_size
         alive = jax.lax.dynamic_update_slice(alive, tile_alive, (start,))
         return alive
 
-    alive = jax.lax.fori_loop(0, num_blocks, tile_step, valid_s)
-    alive = alive[:n]
+    return jax.lax.fori_loop(0, num_blocks, tile_step, valid_s)
 
-    # Survivors in score order: top max_outputs alive entries.
-    alive_scores = jnp.where(alive, masked_scores[order[:n]], NEG_INF)
-    top_scores, top_pos = jax.lax.top_k(alive_scores, min(max_outputs, n))
+
+def _on_tpu():
+    import os
+
+    if os.environ.get("LUMI_DISABLE_PALLAS"):
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform not in ("cpu", "gpu")
+
+
+@partial(jax.jit, static_argnames=("iou_threshold", "max_outputs"))
+def nms_padded_batch(boxes, scores, iou_threshold, max_outputs, valid=None):
+    """Grouped greedy NMS: (G, N) candidate groups in one pass.
+
+    On TPU the whole sweep runs in one grouped Pallas kernel (grid over
+    groups × tiles with the alive mask resident in VMEM); elsewhere it
+    falls back to the vmapped XLA partitioned sweep. Semantics identical
+    to per-group :func:`nms_padded`.
+
+    Args:
+        boxes: (G, N, 4); scores: (G, N); valid: optional (G, N) bool.
+
+    Returns:
+        ``(indices, keep_mask)`` of shape (G, max_outputs): per group,
+        indices into the group's input arrays in descending-score order.
+    """
+    g, n = scores.shape
+    scores = scores.astype(jnp.float32)
+    if valid is None:
+        valid = jnp.ones((g, n), dtype=bool)
+
+    masked_scores = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-masked_scores, axis=1, stable=True)
+    boxes_s = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    valid_s = jnp.take_along_axis(valid, order, axis=1)
+
+    if _on_tpu():
+        from luminoth_tpu.ops.pallas.nms_kernel import nms_alive_pallas
+
+        tile = 512 if n >= 512 else max(128, -(-n // 128) * 128)
+        n_padded = -(-n // tile) * tile
+        pad = n_padded - n
+        boxes_p = jnp.pad(boxes_s, ((0, 0), (0, pad), (0, 0)))
+        valid_p = jnp.pad(valid_s, ((0, 0), (0, pad)))
+        alive = nms_alive_pallas(
+            boxes_p.transpose(0, 2, 1),
+            valid_p.astype(jnp.float32),
+            float(iou_threshold),
+            tile=tile,
+        )[:, :n] > 0.5
+    else:
+        block = _default_block(n)
+        alive = jax.vmap(
+            lambda b, v: _alive_sorted_xla(b, v, iou_threshold, block)[:n]
+        )(boxes_s, valid_s)
+
+    sorted_scores = jnp.take_along_axis(masked_scores, order, axis=1)
+    alive_scores = jnp.where(alive, sorted_scores, NEG_INF)
+    k = min(max_outputs, n)
+    top_scores, top_pos = jax.lax.top_k(alive_scores, k)
     keep_mask = top_scores > NEG_INF
-    indices = order[top_pos]
+    indices = jnp.take_along_axis(order, top_pos, axis=1)
 
     if max_outputs > n:
         extra = max_outputs - n
-        indices = jnp.pad(indices, (0, extra))
-        keep_mask = jnp.pad(keep_mask, (0, extra))
+        indices = jnp.pad(indices, ((0, 0), (0, extra)))
+        keep_mask = jnp.pad(keep_mask, ((0, 0), (0, extra)))
     return indices, keep_mask
 
 

@@ -1,0 +1,78 @@
+"""Pallas NMS kernel (interpret mode) vs numpy greedy golden."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from luminoth_tpu.ops.pallas.nms_kernel import nms_alive_pallas
+from luminoth_tpu.ops.np_boxes import nms as np_nms
+
+
+def random_boxes(rng, n, spread=100.0):
+    x1 = rng.uniform(0, spread, n)
+    y1 = rng.uniform(0, spread, n)
+    w = rng.uniform(5, 40, n)
+    h = rng.uniform(5, 40, n)
+    return np.stack([x1, y1, x1 + w, y1 + h], axis=1).astype(np.float32)
+
+
+def run_kernel(boxes_sorted, valid, thresh, tile):
+    g_boxes = jnp.asarray(boxes_sorted)[None].transpose(0, 2, 1)  # (1,4,N)
+    g_valid = jnp.asarray(valid, jnp.float32)[None]
+    alive = nms_alive_pallas(
+        g_boxes, g_valid, thresh, tile=tile, interpret=True
+    )
+    return np.asarray(alive[0]) > 0.5
+
+
+class TestNMSKernel:
+    def test_matches_numpy_multi_tile(self, rng):
+        n, tile = 256, 64
+        boxes = random_boxes(rng, n, spread=60.0)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        order = np.argsort(-scores)
+        boxes_s = boxes[order]
+        for thresh in (0.3, 0.5, 0.7):
+            alive = run_kernel(boxes_s, np.ones(n), thresh, tile)
+            kept_sorted_pos = np.nonzero(alive)[0]
+            ref = np_nms(boxes, scores, thresh)
+            ref_sorted_pos = np.searchsorted(
+                -scores[order], -scores[ref]
+            )
+            # Compare via original indices.
+            got_original = order[kept_sorted_pos]
+            np.testing.assert_array_equal(
+                np.sort(got_original), np.sort(ref)
+            )
+
+    def test_validity_mask(self, rng):
+        n, tile = 128, 64
+        boxes = random_boxes(rng, n)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        order = np.argsort(-scores)
+        valid = np.zeros(n)
+        valid[:40] = 1.0  # only the top-40 sorted rows are real
+        alive = run_kernel(boxes[order], valid, 0.5, tile)
+        assert not alive[40:].any()
+        ref = np_nms(boxes[order][:40], scores[order][:40], 0.5)
+        np.testing.assert_array_equal(np.sort(np.nonzero(alive)[0]),
+                                      np.sort(ref))
+
+    def test_groups_independent(self, rng):
+        n, tile = 128, 64
+        b0 = random_boxes(rng, n, spread=50.0)
+        b1 = random_boxes(rng, n, spread=50.0)
+        s0 = rng.uniform(0, 1, n).astype(np.float32)
+        s1 = rng.uniform(0, 1, n).astype(np.float32)
+        o0, o1 = np.argsort(-s0), np.argsort(-s1)
+        g_boxes = jnp.asarray(
+            np.stack([b0[o0], b1[o1]])
+        ).transpose(0, 2, 1)
+        g_valid = jnp.ones((2, n), jnp.float32)
+        alive = np.asarray(
+            nms_alive_pallas(g_boxes, g_valid, 0.5, tile=tile,
+                             interpret=True)
+        ) > 0.5
+        for boxes, scores, order, row in ((b0, s0, o0, 0), (b1, s1, o1, 1)):
+            ref = np_nms(boxes, scores, 0.5)
+            got = order[np.nonzero(alive[row])[0]]
+            np.testing.assert_array_equal(np.sort(got), np.sort(ref))
