@@ -65,9 +65,7 @@ def ssd_target_assign(
 
     # Best-anchor-per-gt override (highest priority). Guard against anchors
     # "best" for padded gt rows via the validity mask.
-    best_anchor_for_gt = jnp.argmax(
-        jnp.where(gt_valid[None, :], iou_matrix(anchors, gt[:, :4]), -1.0), axis=0
-    )  # (G,)
+    best_anchor_for_gt = jnp.argmax(overlaps, axis=0)  # (G,)
     anchors_label = anchors_label.at[best_anchor_for_gt].set(
         jnp.where(gt_valid, gt[:, 4] + 1.0, anchors_label[best_anchor_for_gt])
     )
