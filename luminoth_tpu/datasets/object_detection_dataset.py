@@ -152,7 +152,8 @@ class ObjectDetectionDataset:
     """Iterable dataset yielding padded, batched training examples."""
 
     def __init__(self, config, shuffle=None, num_epochs=None,
-                 augment=True, prefetch_batches=4, seed=None):
+                 augment=True, prefetch_batches=4, seed=None,
+                 num_workers=None):
         self._config = config
         self._dataset_config = config.dataset
         self._batch_size = int(config.train.get("batch_size", 1))
@@ -166,6 +167,9 @@ class ObjectDetectionDataset:
         self._max_gt = int(config.dataset.get("max_gt_boxes", 64))
         self._prefetch = prefetch_batches
         self._seed = seed if seed is not None else config.train.get("seed")
+        if num_workers is None:
+            num_workers = int(config.dataset.get("num_workers", 4))
+        self._num_workers = max(1, num_workers)
 
         data_dir = self._dataset_config.dir
         if not os.path.isdir(data_dir):
@@ -180,7 +184,20 @@ class ObjectDetectionDataset:
         return self._canvas
 
     def _example_stream(self):
+        """Yield (record_bytes, per-record seed) pairs.
+
+        Per-record seeds keep augmentation deterministic under ``seed``
+        while letting the parse/augment pool run examples concurrently.
+        """
         rng = np.random.RandomState(self._seed)
+        counter = 0
+        base = self._seed if self._seed is not None else 0
+
+        def tag(record):
+            nonlocal counter
+            counter += 1
+            return record, (base + counter) % (2**31)
+
         for _ in range(self._num_epochs):
             files = list(self._files)
             if self._shuffle:
@@ -196,11 +213,11 @@ class ObjectDetectionDataset:
                         if len(buffer) >= 100:
                             idx = rng.randint(len(buffer))
                             buffer[idx], buffer[-1] = buffer[-1], buffer[idx]
-                            yield buffer.pop(), rng
+                            yield tag(buffer.pop())
                     rng.shuffle(buffer)
-                    yield from ((r, rng) for r in buffer)
+                    yield from (tag(r) for r in buffer)
                 else:
-                    yield from ((r, rng) for r in records)
+                    yield from (tag(r) for r in records)
 
     def _make_batch(self, examples):
         images = np.stack([e["image"] for e in examples])
@@ -222,7 +239,8 @@ class ObjectDetectionDataset:
             ),
         }
 
-    def _prepare(self, record, rng):
+    def _prepare(self, record, seed):
+        rng = np.random.RandomState(seed)
         image, bboxes, filename = parse_record(record)
         result = preprocess_image(
             self._config, image, bboxes, rng=rng, augment=self._augment
@@ -240,13 +258,44 @@ class ObjectDetectionDataset:
             "num_gt": len(bboxes),
         }
 
+    def _prepared_stream(self):
+        """Decode/augment examples, optionally on a worker pool.
+
+        A bounded in-flight window keeps memory flat; results come back in
+        stream order (deterministic batches for a fixed seed). Replaces the
+        reference's 20 parallel enqueue ops (base_dataset.py:71-74).
+        """
+        if self._num_workers <= 1:
+            for record, seed in self._example_stream():
+                try:
+                    yield self._prepare(record, seed)
+                except Exception:
+                    continue
+            return
+
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = self._num_workers * 2
+        pending = collections.deque()
+        with ThreadPoolExecutor(self._num_workers) as pool:
+            for record, seed in self._example_stream():
+                pending.append(pool.submit(self._prepare, record, seed))
+                if len(pending) >= window:
+                    try:
+                        yield pending.popleft().result()
+                    except Exception:
+                        continue
+            while pending:
+                try:
+                    yield pending.popleft().result()
+                except Exception:
+                    continue
+
     def _batch_stream(self):
         batch = []
-        for record, rng in self._example_stream():
-            try:
-                batch.append(self._prepare(record, rng))
-            except Exception:
-                continue  # skip undecodable records
+        for example in self._prepared_stream():
+            batch.append(example)
             if len(batch) == self._batch_size:
                 yield self._make_batch(batch)
                 batch = []

@@ -132,7 +132,7 @@ def download_remote_checkpoint(db, entry):
         with open(tar_path, "wb") as f:
             shutil.copyfileobj(resp, f)
     with tarfile.open(tar_path) as tar:
-        tar.extractall(target)
+        tar.extractall(target, filter="data")
     os.remove(tar_path)
     entry["status"] = "DOWNLOADED"
     merge_into_db(db, entry)
@@ -365,7 +365,7 @@ def import_(path):
     with tarfile.open(path) as tar:
         names = tar.getnames()
         root = names[0].split("/")[0]
-        tar.extractall(get_checkpoints_directory())
+        tar.extractall(get_checkpoints_directory(), filter="data")
     bundle = os.path.join(get_checkpoints_directory(), root)
     metadata_path = os.path.join(bundle, "metadata.json")
     if os.path.exists(metadata_path):

@@ -1,0 +1,121 @@
+"""Checkpoint zoo lifecycle: create → list/info → export → import → delete."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from luminoth_tpu.utils.checkpoint_io import CheckpointManager
+from luminoth_tpu.utils.config import Config, dump_config
+
+
+@pytest.fixture
+def zoo_env(tmp_path, monkeypatch):
+    home = tmp_path / "home"
+    monkeypatch.setenv("LUMI_HOME", str(home))
+    return tmp_path
+
+
+def make_fake_run(tmp_path):
+    """A fake training run dir + user config file."""
+    job_dir = tmp_path / "jobs"
+    run_dir = job_dir / "myrun" / "ckpt"
+    manager = CheckpointManager(str(run_dir))
+    state = {
+        "step": 7,
+        "params": {"w": np.ones((2, 2), np.float32)},
+        "batch_stats": {},
+        "opt_state": {"momentum": np.zeros((2, 2), np.float32)},
+    }
+    manager.save(state, 7)
+
+    data_dir = tmp_path / "data"
+    os.makedirs(data_dir, exist_ok=True)
+    with open(data_dir / "classes.json", "w") as f:
+        json.dump(["a", "b"], f)
+
+    config = Config(
+        {
+            "train": {"job_dir": str(job_dir), "run_name": "myrun"},
+            "dataset": {"type": "object_detection", "dir": str(data_dir),
+                        "split": "train"},
+            "model": {"type": "fasterrcnn",
+                      "network": {"num_classes": 2}},
+        }
+    )
+    config_path = tmp_path / "config.yml"
+    with open(config_path, "w") as f:
+        f.write(dump_config(config))
+    return str(config_path)
+
+
+def test_zoo_lifecycle(zoo_env, tmp_path):
+    from luminoth_tpu.tools.checkpoint import (
+        checkpoint,
+        get_checkpoint,
+        get_checkpoint_class_labels,
+        get_checkpoint_config,
+        read_checkpoint_db,
+    )
+
+    config_path = make_fake_run(zoo_env)
+    runner = CliRunner()
+
+    # create
+    result = runner.invoke(
+        checkpoint, ["create", "-c", config_path, "--alias", "mymodel"]
+    )
+    assert result.exit_code == 0, result.output
+    assert "created successfully" in result.output
+
+    db = read_checkpoint_db()
+    assert len(db["checkpoints"]) == 1
+    entry = db["checkpoints"][0]
+    assert entry["alias"] == "mymodel"
+
+    # list / info
+    result = runner.invoke(checkpoint, ["list"])
+    assert entry["id"] in result.output
+    result = runner.invoke(checkpoint, ["info", "mymodel"])
+    assert entry["id"] in result.output
+
+    # config resolution through the zoo (what predict --checkpoint does)
+    cfg = get_checkpoint_config("mymodel", prompt=False)
+    assert cfg.model.type == "fasterrcnn"
+    assert os.path.isdir(cfg.train.job_dir)
+    # the bundled weight file is discoverable by the predictor's search
+    from luminoth_tpu.utils.checkpoint_io import CheckpointManager
+
+    assert CheckpointManager(cfg.train.job_dir).latest_step() == 7
+    assert get_checkpoint_class_labels("mymodel") == ["a", "b"]
+
+    # edit
+    result = runner.invoke(
+        checkpoint, ["edit", "mymodel", "--description", "hello"]
+    )
+    assert result.exit_code == 0
+    db = read_checkpoint_db()
+    assert db["checkpoints"][0]["description"] == "hello"
+
+    # export → delete → import round trip
+    out_dir = str(tmp_path / "exports")
+    os.makedirs(out_dir, exist_ok=True)
+    result = runner.invoke(
+        checkpoint, ["export", "mymodel", "--output", out_dir]
+    )
+    assert result.exit_code == 0, result.output
+    tar_path = os.path.join(out_dir, f"{entry['id']}.tar")
+    assert os.path.exists(tar_path)
+
+    result = runner.invoke(checkpoint, ["delete", "mymodel"])
+    assert result.exit_code == 0
+    assert read_checkpoint_db()["checkpoints"] == []
+
+    result = runner.invoke(checkpoint, ["import", tar_path])
+    assert result.exit_code == 0, result.output
+    db = read_checkpoint_db()
+    assert db["checkpoints"][0]["id"] == entry["id"]
+    cfg = get_checkpoint_config(entry["id"], prompt=False)
+    assert cfg.model.type == "fasterrcnn"
