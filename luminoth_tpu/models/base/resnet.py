@@ -16,7 +16,7 @@ TPU-first details:
   (reference: luminoth/models/base/truncated_base_network.py:8-16,56-95).
 """
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

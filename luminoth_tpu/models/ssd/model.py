@@ -15,8 +15,7 @@ The forward returns a prediction dict mirroring the reference's keys:
 training, ``classification_prediction`` at inference.
 """
 
-import math
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ import tarfile
 import uuid
 
 import click
-import yaml
 
 from luminoth_tpu.utils.config import (
     Config,

@@ -8,7 +8,7 @@ import logging
 import click
 
 from luminoth_tpu.datasets.exceptions import InvalidDataDirectory
-from luminoth_tpu.tools.dataset.readers import READERS, get_reader
+from luminoth_tpu.tools.dataset.readers import get_reader
 from luminoth_tpu.tools.dataset.writers import ObjectDetectionWriter
 from luminoth_tpu.utils.config import parse_override
 

@@ -27,16 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 
 from luminoth_tpu.datasets import get_dataset
 from luminoth_tpu.models import get_model
 from luminoth_tpu.parallel import make_mesh, batch_sharding, replicate_sharding
-from luminoth_tpu.utils.config import (
-    Config,
-    get_config,
-    to_plain,
-)
+from luminoth_tpu.utils.config import get_config, to_plain
 from luminoth_tpu.utils.experiments import save_run
 from luminoth_tpu.utils.training import (
     build_trainable_mask,

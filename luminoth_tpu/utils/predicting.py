@@ -8,7 +8,6 @@ canvas shape; restore reads the latest training checkpoint from
 
 import logging
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
