@@ -200,6 +200,10 @@ def nms_padded_batch(boxes, scores, iou_threshold, max_outputs, valid=None):
         pad = n_padded - n
         boxes_p = jnp.pad(boxes_s, ((0, 0), (0, pad), (0, 0)))
         valid_p = jnp.pad(valid_s, ((0, 0), (0, pad)))
+        # Greedy suppression is a discrete selection — non-differentiable by
+        # construction (the reference's tf NMS likewise only emits indices).
+        # Cutting tangents here keeps autodiff from tracing into the kernel.
+        boxes_p = jax.lax.stop_gradient(boxes_p)
         alive = nms_alive_pallas(
             boxes_p.transpose(0, 2, 1),
             valid_p.astype(jnp.float32),
