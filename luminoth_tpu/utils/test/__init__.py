@@ -1,0 +1,2 @@
+from luminoth_tpu.utils.test.gt_boxes import generate_gt_boxes  # noqa: F401
+from luminoth_tpu.utils.test.anchors import generate_anchors  # noqa: F401
