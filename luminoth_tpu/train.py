@@ -113,8 +113,13 @@ def load_pretrained_backbone(params, batch_stats, config):
     return params, batch_stats, n_params > 0
 
 
-def make_train_step(model, tx, mesh=None):
-    """Build the jitted train step (sharded when a mesh is given)."""
+def make_train_step(model, tx, mesh=None, train_batch_norm=False):
+    """Build the jitted train step (sharded when a mesh is given).
+
+    ``train_batch_norm`` updates running BN statistics during training
+    (reference: base_network.py train_batch_norm flag; off by default for
+    detection fine-tuning).
+    """
 
     def train_step(state, batch, rng):
         rng_target, rng_dropout = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -123,26 +128,34 @@ def make_train_step(model, tx, mesh=None):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            preds = model.apply(
-                variables,
-                batch["image"],
+            apply_kwargs = dict(
                 gt_boxes=batch["gt_boxes"],
                 im_shape=batch.get("im_shape"),
                 train=True,
                 rngs={"target": rng_target, "dropout": rng_dropout},
             )
+            new_stats = state.batch_stats
+            if train_batch_norm and state.batch_stats:
+                preds, mutated = model.apply(
+                    variables, batch["image"], mutable=["batch_stats"],
+                    **apply_kwargs,
+                )
+                new_stats = mutated["batch_stats"]
+            else:
+                preds = model.apply(variables, batch["image"], **apply_kwargs)
             losses = model.loss(preds, return_all=True)
-            return losses["total_loss"], losses
+            return losses["total_loss"], (losses, new_stats)
 
-        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             opt_state=new_opt_state,
+            batch_stats=new_stats,
         )
         metrics = dict(losses)
         metrics["grad_norm"] = optax.global_norm(grads)
@@ -253,7 +266,12 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
         repl = replicate_sharding(mesh)
         state = jax.device_put(state, repl)
 
-    train_step = make_train_step(model, tx, mesh)
+    train_step = make_train_step(
+        model, tx, mesh,
+        train_batch_norm=bool(
+            config.model.get("base_network", {}).get("train_batch_norm")
+        ),
+    )
 
     if is_chief and not no_log:
         try:
