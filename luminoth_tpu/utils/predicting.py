@@ -77,7 +77,9 @@ class PredictorNetwork:
         self._canvas = canvas_shape(config)
         if variables is None:
             variables = load_checkpoint_variables(config)
-        self._variables = variables
+        # Pin the weights on device once — passing host arrays into the
+        # jitted forward would re-transfer the whole model every call.
+        self._variables = jax.device_put(variables)
         self.class_labels = class_labels
 
         @jax.jit
