@@ -122,3 +122,43 @@ class TestEndToEnd:
         assert "AP@0.5" in metrics
         assert 0.0 <= metrics["AP@0.5"] <= 1.0
         assert np.isfinite(metrics["losses/total_loss"])
+
+    def test_predict_cli(self, tiny_config, tmp_path):
+        """`lumi predict` end to end: config file + image → JSON + media."""
+        import yaml
+        from click.testing import CliRunner
+        from PIL import Image as PILImage
+
+        from luminoth_tpu.predict import predict
+        from luminoth_tpu.utils.config import to_plain
+
+        config_path = tmp_path / "config.yml"
+        with open(config_path, "w") as f:
+            yaml.safe_dump(to_plain(tiny_config), f)
+
+        img_path = tmp_path / "input.jpg"
+        PILImage.fromarray(
+            np.random.RandomState(2).randint(
+                0, 255, (80, 100, 3), dtype=np.uint8
+            )
+        ).save(img_path)
+
+        out_json = tmp_path / "objects.json"
+        media_dir = tmp_path / "media"
+        runner = CliRunner()
+        result = runner.invoke(
+            predict,
+            [str(img_path), "-c", str(config_path),
+             "-f", str(out_json), "-d", str(media_dir),
+             "--min-prob", "0.0", "--max-detections", "5"],
+        )
+        assert result.exit_code == 0, result.output
+
+        import json as _json
+
+        lines = out_json.read_text().strip().splitlines()
+        assert len(lines) == 1
+        payload = _json.loads(lines[0])
+        assert payload["file"] == str(img_path)
+        assert isinstance(payload["objects"], list)
+        assert (media_dir / "pred_input.jpg").exists()
