@@ -323,7 +323,7 @@ def eval(dataset_split, config_files, watch, from_global_step,
     last_step = from_global_step or 0
 
     while True:
-        steps = [s for s in manager.all_steps() if s > last_step]
+        steps = get_checkpoints(run_dir, last_step)
         if not steps:
             if not watch:
                 break
