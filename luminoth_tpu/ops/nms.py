@@ -231,7 +231,7 @@ def nms_padded_batch(boxes, scores, iou_threshold, max_outputs, valid=None):
 
 
 def nms_per_class(boxes, scores, iou_threshold, max_per_class, valid=None):
-    """vmapped per-class NMS.
+    """Per-class NMS: classes are just groups of the grouped sweep.
 
     Args:
         boxes: (C, N, 4) per-class decoded boxes.
@@ -241,11 +241,6 @@ def nms_per_class(boxes, scores, iou_threshold, max_per_class, valid=None):
     Returns:
         ``(indices, keep_mask)`` with shapes (C, max_per_class).
     """
-    if valid is None:
-        valid = jnp.ones(scores.shape, dtype=bool)
-    fn = jax.vmap(
-        lambda b, s, v: nms_padded(
-            b, s, iou_threshold, max_per_class, valid=v
-        )
+    return nms_padded_batch(
+        boxes, scores, float(iou_threshold), max_per_class, valid=valid
     )
-    return fn(boxes, scores, valid)
