@@ -126,6 +126,37 @@ def canvas_shape(config):
     return _round_up(size, 32), _round_up(size, 32)
 
 
+def canvas_buckets(config):
+    """The list of candidate canvases (multi-bucket batching).
+
+    ``dataset.image_preprocessing.canvases: [[608, 1024], [1024, 608]]``
+    enables orientation buckets: each image pads to the smallest canvas it
+    fits, batches are homogeneous per bucket, and XLA compiles one program
+    per bucket instead of wasting FLOPs on a worst-case square. The default
+    single canvas always remains as a fallback bucket.
+    """
+    prep = config.dataset.image_preprocessing
+    fallback = canvas_shape(config)
+    buckets = []
+    for entry in prep.get("canvases") or []:
+        buckets.append(
+            (_round_up(int(entry[0]), 32), _round_up(int(entry[1]), 32))
+        )
+    if fallback not in buckets:
+        buckets.append(fallback)
+    return buckets
+
+
+def pick_bucket(buckets, h, w):
+    """Smallest-area bucket that fits an (h, w) image (fallback: last)."""
+    best = None
+    for canvas in buckets:
+        if h <= canvas[0] and w <= canvas[1]:
+            if best is None or canvas[0] * canvas[1] < best[0] * best[1]:
+                best = canvas
+    return best or buckets[-1]
+
+
 def pad_to_canvas(image, canvas_hw):
     """Zero-pad bottom/right to the canvas; returns (padded, (h, w))."""
     h, w = image.shape[0], image.shape[1]
@@ -178,10 +209,15 @@ class ObjectDetectionDataset:
             )
         self._files = find_split_files(data_dir, self._dataset_config.split)
         self._canvas = canvas_shape(config)
+        self._buckets = canvas_buckets(config)
 
     @property
     def canvas(self):
         return self._canvas
+
+    @property
+    def buckets(self):
+        return self._buckets
 
     def _example_stream(self):
         """Yield (record_bytes, per-record seed) pairs.
@@ -245,7 +281,11 @@ class ObjectDetectionDataset:
         result = preprocess_image(
             self._config, image, bboxes, rng=rng, augment=self._augment
         )
-        padded, (h, w) = pad_to_canvas(result["image"], self._canvas)
+        resized = result["image"]
+        canvas = pick_bucket(
+            self._buckets, resized.shape[0], resized.shape[1]
+        )
+        padded, (h, w) = pad_to_canvas(resized, canvas)
         scale = result.get("scale_factor", 1.0)
         if isinstance(scale, tuple):
             scale = float(np.mean(scale))
@@ -293,13 +333,16 @@ class ObjectDetectionDataset:
                     continue
 
     def _batch_stream(self):
-        batch = []
+        """Accumulate per-bucket so batches stay shape-homogeneous."""
+        pending = {}
         for example in self._prepared_stream():
+            bucket = example["image"].shape[:2]
+            batch = pending.setdefault(bucket, [])
             batch.append(example)
             if len(batch) == self._batch_size:
                 yield self._make_batch(batch)
-                batch = []
-        # Drop the remainder (static batch shapes only).
+                pending[bucket] = []
+        # Drop remainders (static batch shapes only).
 
     def __iter__(self):
         """Iterate batches with background prefetching."""

@@ -150,3 +150,27 @@ class TestDatasetIteration:
         ds = ObjectDetectionDataset(cfg, augment=True)
         b = next(iter(ds))
         assert b["image"].shape == (1, 96, 96, 3)
+
+
+class TestCanvasBuckets:
+    def test_orientation_buckets(self, tmp_path):
+        """Mixed-orientation images land in per-orientation buckets."""
+        from luminoth_tpu.formats.tfrecord import TFRecordWriter
+
+        path = tmp_path / "train.tfrecords"
+        with TFRecordWriter(str(path)) as w:
+            for i in range(4):
+                w.write(make_record(width=120, height=60))   # landscape
+            for i in range(4):
+                w.write(make_record(width=60, height=120))   # portrait
+        cfg = ssd_like_config(str(tmp_path), batch_size=2)
+        cfg.dataset.image_preprocessing = Config(
+            {"min_size": 60, "max_size": 128,
+             "canvases": [[64, 128], [128, 64]]}
+        )
+        ds = ObjectDetectionDataset(cfg, augment=False)
+        shapes = [b["image"].shape[1:3] for b in ds]
+        assert (64, 128) in shapes
+        assert (128, 64) in shapes
+        # Every batch is homogeneous by construction.
+        assert all(s in ((64, 128), (128, 64), (128, 128)) for s in shapes)
