@@ -247,7 +247,9 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
             os.path.join(run_dir, "ckpt"),
             max_to_keep=int(train_cfg.get("checkpoints_max_keep", 1)),
         )
-        restored = manager.restore_latest(state)
+        restored = manager.restore_latest(
+            state, ignore_scope=train_cfg.get("ignore_scope")
+        )
         if restored is not None:
             state = restored
             logger.info("Resumed from step %d", int(state.step))

@@ -64,15 +64,47 @@ class CheckpointManager:
             except OSError:
                 pass
 
-    def restore(self, state_template, step):
+    def restore(self, state_template, step, ignore_scope=None):
         with open(self._path(step), "rb") as f:
-            return serialization.from_bytes(state_template, f.read())
+            data = f.read()
+        if not ignore_scope:
+            return serialization.from_bytes(state_template, data)
+        # Partial restore (reference train.py `ignore_scope`: e.g. train the
+        # RPN first, then resume into the full model): merge whatever paths
+        # match, skip the ignored scope, keep template values elsewhere.
+        restored = serialization.msgpack_restore(data)
+        template_dict = serialization.to_state_dict(state_template)
+        merged = _merge_state(template_dict, restored, ignore_scope)
+        return serialization.from_state_dict(state_template, merged)
 
-    def restore_latest(self, state_template):
+    def restore_latest(self, state_template, ignore_scope=None):
         step = self.latest_step()
         if step is None:
             return None
-        return self.restore(state_template, step)
+        return self.restore(state_template, step, ignore_scope=ignore_scope)
+
+
+def _merge_state(template, restored, ignore_scope, path=""):
+    """Merge ``restored`` into ``template`` by matching paths.
+
+    Paths whose dotted/slashed name contains ``ignore_scope`` keep the
+    template value; mismatched structures also fall back to the template.
+    """
+    if not isinstance(template, dict):
+        if ignore_scope and ignore_scope in path:
+            return template
+        if restored is None:
+            return template
+        if np.shape(template) != np.shape(restored):
+            return template
+        return restored
+    out = {}
+    restored = restored if isinstance(restored, dict) else {}
+    for key, value in template.items():
+        out[key] = _merge_state(
+            value, restored.get(key), ignore_scope, f"{path}/{key}"
+        )
+    return out
 
 
 # ---------------------------------------------------------------- flat npz

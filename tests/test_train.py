@@ -123,3 +123,41 @@ class TestTrain:
         )
         with pytest.raises(ValueError):
             run_training(config, max_steps=1)
+
+
+def test_ignore_scope_partial_restore(tmp_path):
+    """`train.ignore_scope` keeps fresh values for the ignored subtree."""
+    import numpy as np
+    from luminoth_tpu.utils.checkpoint_io import CheckpointManager
+
+    manager = CheckpointManager(str(tmp_path / "ckpt"))
+    saved = {
+        "step": 5,
+        "params": {"rpn": {"w": np.full((2,), 7.0, np.float32)},
+                   "rcnn": {"w": np.full((2,), 9.0, np.float32)}},
+    }
+    manager.save(saved, 5)
+
+    template = {
+        "step": 0,
+        "params": {"rpn": {"w": np.zeros(2, np.float32)},
+                   "rcnn": {"w": np.zeros(2, np.float32)}},
+    }
+    restored = manager.restore_latest(template, ignore_scope="rcnn")
+    np.testing.assert_allclose(restored["params"]["rpn"]["w"], 7.0)
+    np.testing.assert_allclose(restored["params"]["rcnn"]["w"], 0.0)
+    assert restored["step"] == 5
+
+    full = manager.restore_latest(template)
+    np.testing.assert_allclose(full["params"]["rcnn"]["w"], 9.0)
+
+
+def test_partial_restore_shape_mismatch_keeps_template(tmp_path):
+    import numpy as np
+    from luminoth_tpu.utils.checkpoint_io import CheckpointManager
+
+    manager = CheckpointManager(str(tmp_path / "ckpt"))
+    manager.save({"params": {"w": np.ones((3,), np.float32)}}, 1)
+    template = {"params": {"w": np.zeros((5,), np.float32)}}
+    restored = manager.restore_latest(template, ignore_scope="nothing")
+    np.testing.assert_allclose(restored["params"]["w"], 0.0)
