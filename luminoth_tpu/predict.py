@@ -68,7 +68,8 @@ def predict_image(network, path, only_classes=None, ignore_classes=None,
 
 
 def predict_video(network, path, only_classes=None, ignore_classes=None,
-                  save_path=None):
+                  save_path=None, batch_size=4):
+    """Detect objects per frame, batching frames for device throughput."""
     import cv2
 
     cap = cv2.VideoCapture(path)
@@ -88,18 +89,31 @@ def predict_video(network, path, only_classes=None, ignore_classes=None,
     import time
 
     start = time.time()
+
+    def flush(frames):
+        nonlocal frame_idx
+        results = network.predict_batch(frames, pad_to=batch_size)
+        for rgb, objects in zip(frames, results):
+            objects = filter_classes(objects, only_classes, ignore_classes)
+            objects_per_frame.append(
+                {"frame": frame_idx, "objects": objects}
+            )
+            if writer is not None:
+                drawn = np.asarray(vis_objects(rgb, objects))
+                writer.write(drawn[..., ::-1].copy())
+            frame_idx += 1
+
+    pending = []
     while True:
         ok, frame = cap.read()
         if not ok:
             break
-        rgb = frame[..., ::-1]
-        objects = network.predict_image(rgb)
-        objects = filter_classes(objects, only_classes, ignore_classes)
-        objects_per_frame.append({"frame": frame_idx, "objects": objects})
-        if writer is not None:
-            drawn = np.asarray(vis_objects(rgb, objects))
-            writer.write(drawn[..., ::-1].copy())
-        frame_idx += 1
+        pending.append(frame[..., ::-1])
+        if len(pending) == batch_size:
+            flush(pending)
+            pending = []
+    if pending:
+        flush(pending)
     elapsed = time.time() - start
     if frame_idx:
         logger.info("Total processing time: %.2fs (%.2f fps)",
