@@ -223,11 +223,12 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
     )
 
     trainable_mask = build_trainable_mask(params, config.model)
-    wd = config.model.base_network.get("arg_scope", {}).get("weight_decay", 0.0)
+    from luminoth_tpu.utils.training import build_weight_decay_coefficients
+
     tx, lr_schedule = get_optimizer(
         train_cfg,
         trainable_mask=trainable_mask,
-        weight_decay=wd or 0.0,
+        weight_decay=build_weight_decay_coefficients(params, config.model),
         weight_decay_mask=build_weight_decay_mask(params),
     )
     opt_state = tx.init(params)

@@ -82,7 +82,10 @@ def get_optimizer(train_config, trainable_mask=None, weight_decay=0.0,
     chain = []
     if train_config.get("clip_by_norm"):
         chain.append(optax.clip_by_global_norm(10.0))
-    if weight_decay:
+    if weight_decay is not None and not isinstance(weight_decay, (int, float)):
+        # A pytree of per-parameter coefficients.
+        chain.append(add_decayed_weights_per_param(weight_decay))
+    elif weight_decay:
         chain.append(
             optax.add_decayed_weights(weight_decay, mask=weight_decay_mask)
         )
@@ -190,3 +193,63 @@ def build_weight_decay_mask(params):
         return last in ("kernel", "w")
 
     return jax.tree_util.tree_map_with_path(is_kernel, params)
+
+
+def build_weight_decay_coefficients(params, model_config):
+    """Per-parameter L2 coefficients from the reference's three knobs.
+
+    reference: slim regularizers attach per-module — the backbone arg_scope
+    ``weight_decay`` (base_config.yml arg_scope), ``rpn.
+    l2_regularization_scale`` and ``rcnn.l2_regularization_scale``. Returns
+    a pytree of floats (0.0 for non-kernel params).
+    """
+    import jax
+
+    base_wd = float(
+        (model_config.get("base_network") or {})
+        .get("arg_scope", {})
+        .get("weight_decay", 0.0)
+        or 0.0
+    )
+    rpn_wd = float(
+        (model_config.get("rpn") or {}).get("l2_regularization_scale", base_wd)
+        or 0.0
+    )
+    rcnn_wd = float(
+        (model_config.get("rcnn") or {}).get(
+            "l2_regularization_scale", base_wd
+        )
+        or 0.0
+    )
+
+    def coeff(path, _):
+        last = getattr(path[-1], "key", str(path[-1]))
+        if last not in ("kernel", "w"):
+            return 0.0
+        root = getattr(path[0], "key", str(path[0]))
+        if root == "rpn":
+            return rpn_wd
+        if root == "rcnn":
+            return rcnn_wd
+        return base_wd
+
+    return jax.tree_util.tree_map_with_path(coeff, params)
+
+
+def add_decayed_weights_per_param(coefficients):
+    """Optax transformation: per-parameter decoupled L2 coefficients."""
+    import jax
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("add_decayed_weights_per_param needs params")
+        updates = jax.tree_util.tree_map(
+            lambda g, p, c: g + c * p, updates, params, coefficients
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)

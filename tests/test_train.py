@@ -161,3 +161,25 @@ def test_partial_restore_shape_mismatch_keeps_template(tmp_path):
     template = {"params": {"w": np.zeros((5,), np.float32)}}
     restored = manager.restore_latest(template, ignore_scope="nothing")
     np.testing.assert_allclose(restored["params"]["w"], 0.0)
+
+
+def test_per_module_weight_decay_coefficients():
+    import numpy as np
+    from luminoth_tpu.utils.config import Config
+    from luminoth_tpu.utils.training import build_weight_decay_coefficients
+
+    params = {
+        "base_network": {"conv1": {"kernel": np.zeros(1)}},
+        "rpn": {"conv": {"kernel": np.zeros(1), "bias": np.zeros(1)}},
+        "rcnn": {"fc_classifier": {"kernel": np.zeros(1)}},
+    }
+    model_cfg = Config({
+        "base_network": {"arg_scope": {"weight_decay": 0.0005}},
+        "rpn": {"l2_regularization_scale": 0.001},
+        "rcnn": {"l2_regularization_scale": 0.0},
+    })
+    coeffs = build_weight_decay_coefficients(params, model_cfg)
+    assert coeffs["base_network"]["conv1"]["kernel"] == 0.0005
+    assert coeffs["rpn"]["conv"]["kernel"] == 0.001
+    assert coeffs["rpn"]["conv"]["bias"] == 0.0
+    assert coeffs["rcnn"]["fc_classifier"]["kernel"] == 0.0
