@@ -69,11 +69,23 @@ class Detector:
         if single:
             images = [images]
 
-        # One batched device call for the whole list (the reference loops
-        # per image — tasks.py:149-154).
-        batched = self._network.predict_batch(
-            [np.asarray(image) for image in images]
-        )
+        # Batched device calls (the reference loops per image —
+        # tasks.py:149-154). Lists chunk into power-of-two buckets so the
+        # jitted forward compiles for at most a handful of batch shapes.
+        arrays = [np.asarray(image) for image in images]
+        batched = []
+        max_chunk = 8
+        i = 0
+        while i < len(arrays):
+            chunk = arrays[i : i + max_chunk]
+            pad_to = 1
+            while pad_to < len(chunk):
+                pad_to *= 2
+            batched.extend(
+                self._network.predict_batch(chunk, pad_to=pad_to)
+            )
+            i += len(chunk)
+
         all_results = []
         for objects in batched:
             objects = [o for o in objects if o["prob"] >= prob]
