@@ -82,8 +82,16 @@ def get_optimizer(train_config, trainable_mask=None, weight_decay=0.0,
     chain = []
     if train_config.get("clip_by_norm"):
         chain.append(optax.clip_by_global_norm(10.0))
+    # Weight decay sits OUTSIDE the trainable/freeze partition (which
+    # replaces frozen leaves with MaskedNode); frozen params get zero decay
+    # via their coefficient instead.
     if weight_decay is not None and not isinstance(weight_decay, (int, float)):
-        # A pytree of per-parameter coefficients.
+        if trainable_mask is not None:
+            import jax
+
+            weight_decay = jax.tree_util.tree_map(
+                lambda c, t: c if t else 0.0, weight_decay, trainable_mask
+            )
         chain.append(add_decayed_weights_per_param(weight_decay))
     elif weight_decay:
         chain.append(
@@ -91,39 +99,33 @@ def get_optimizer(train_config, trainable_mask=None, weight_decay=0.0,
         )
 
     if opt_type == "momentum":
-        chain.append(
-            optax.sgd(schedule, momentum=opt_config.get("momentum", 0.9))
-        )
+        opt = optax.sgd(schedule, momentum=opt_config.get("momentum", 0.9))
     elif opt_type in ("gradient_descent", "sgd"):
-        chain.append(optax.sgd(schedule))
+        opt = optax.sgd(schedule)
     elif opt_type == "adam":
-        chain.append(
-            optax.adam(
-                schedule,
-                b1=opt_config.get("beta1", 0.9),
-                b2=opt_config.get("beta2", 0.999),
-                eps=opt_config.get("epsilon", 1e-8),
-            )
+        opt = optax.adam(
+            schedule,
+            b1=opt_config.get("beta1", 0.9),
+            b2=opt_config.get("beta2", 0.999),
+            eps=opt_config.get("epsilon", 1e-8),
         )
     elif opt_type == "rmsprop":
-        chain.append(
-            optax.rmsprop(
-                schedule,
-                decay=opt_config.get("decay", 0.9),
-                momentum=opt_config.get("momentum", 0.0),
-                eps=opt_config.get("epsilon", 1e-10),
-            )
+        opt = optax.rmsprop(
+            schedule,
+            decay=opt_config.get("decay", 0.9),
+            momentum=opt_config.get("momentum", 0.0),
+            eps=opt_config.get("epsilon", 1e-10),
         )
 
-    tx = optax.chain(*chain)
     if trainable_mask is not None:
-        tx = optax.multi_transform(
-            {"train": tx, "freeze": optax.set_to_zero()},
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()},
             param_labels=lambda params: _mask_to_labels(
                 trainable_mask, params
             ),
         )
-    return tx, schedule
+    chain.append(opt)
+    return optax.chain(*chain), schedule
 
 
 def _mask_to_labels(mask, params):
