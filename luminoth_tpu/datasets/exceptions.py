@@ -1,3 +1,6 @@
+"""Dataset pipeline exceptions."""
+
+
 class InvalidDataDirectory(Exception):
-    """Error raised when the chosen input directory for the dataset is not
-    readable or doesn't exist."""
+    """Raised when a dataset input directory is missing or unreadable
+    (reference: luminoth/datasets/exceptions.py)."""

@@ -1,1 +1,3 @@
+"""SSD model family (TPU-native single-shot detector)."""
+
 from luminoth_tpu.models.ssd.model import SSD  # noqa: F401

@@ -22,25 +22,25 @@ logger = logging.getLogger(__name__)
                        "pascal", "taggerine"]),
     required=True)
 @click.option("--data-dir", required=True,
-              help="Where to locate the original data.")
+              help="Directory holding the source annotations/images.")
 @click.option("--output-dir", required=True,
-              help="Where to save the transformed data.")
+              help="Destination directory for the TFRecord output.")
 @click.option("splits", "--split", required=True, multiple=True,
-              help="The splits to transform (ie. train, test, val).")
+              help="Dataset split(s) to convert, e.g. train/val/test.")
 @click.option("--only-classes",
-              help="Keep only examples of these classes. Comma separated.")
+              help="Class whitelist (comma-separated names).")
 @click.option("--only-images",
-              help="Create dataset with specific examples.")
+              help="Image-id whitelist (useful for overfit experiments).")
 @click.option("--limit-examples", type=int,
-              help="Limit the dataset to the first N examples.")
+              help="Stop after converting N examples.")
 @click.option("--class-examples", type=int,
-              help="Finish when every class has at least N samples.")
+              help="Per-class quota: stop once every class has ~N boxes.")
 @click.option("overrides", "--override", "-o", multiple=True,
-              help="Custom parameters for readers.")
-@click.option("--debug", is_flag=True, help="Set level logging to DEBUG.")
+              help="Reader-specific kwargs as key=value pairs.")
+@click.option("--debug", is_flag=True, help="Verbose logging.")
 def transform(dataset_reader, data_dir, output_dir, splits, only_classes,
               only_images, limit_examples, class_examples, overrides, debug):
-    """Prepare a dataset for ingestion: one TFRecords file per split."""
+    """Convert an annotation format into one TFRecords file per split."""
     logging.basicConfig(level=logging.DEBUG if debug else logging.INFO)
 
     try:
@@ -49,7 +49,8 @@ def transform(dataset_reader, data_dir, output_dir, splits, only_classes,
         click.echo(f"Error getting reader: {e}")
         return
 
-    # All splits must share a consistent class set.
+    # The first split fixes the class list; later splits reuse it so
+    # label indices stay consistent across train/val/test.
     classes = None
     reader_kwargs = parse_override(list(overrides))
 
