@@ -25,7 +25,7 @@ def main():
     cfg.model.network.num_classes = 80  # COCO
     cfg.model.base_network.architecture = "resnet_v1_101"
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     height, width = 608, 800
 
     model = FasterRCNN(cfg, dtype=jnp.bfloat16)
