@@ -1,0 +1,72 @@
+"""Reproducible verification script (run from the repo root on a TPU host).
+
+See STATUS.md for the round-1 results this produced.
+"""
+import time, sys
+import jax, jax.numpy as jnp
+from luminoth_tpu.models.fasterrcnn import FasterRCNN
+from luminoth_tpu.models.base.base_network import TruncatedBaseNetwork, BaseNetworkTail
+from luminoth_tpu.models.fasterrcnn.rpn_proposal import rpn_proposal
+from luminoth_tpu.ops.anchors import generate_anchors_reference, generate_anchors_grid
+from luminoth_tpu.ops.roi_align import roi_crop_pool
+from luminoth_tpu.ops.nms import nms_padded
+from luminoth_tpu.utils.config import Config, get_base_config, get_model_config
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+H, W = 608, 800
+key = jax.random.PRNGKey(0)
+
+cfg = get_model_config(get_base_config(FasterRCNN), Config({}), [])
+cfg.model.network.num_classes = 80
+
+def timeit(name, fn, *args, iters=10):
+    out = fn(*args); jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    print(f"{name}: {dt*1000:.1f} ms")
+    return out
+
+images = jax.random.uniform(key, (B, H, W, 3)) * 255.0
+
+# Backbone
+bb = TruncatedBaseNetwork(dict(cfg.model.base_network), dtype=jnp.bfloat16)
+vb = jax.eval_shape(lambda: bb.init(key, images))
+vb = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), vb)
+bb_fn = jax.jit(lambda v, x: bb.apply(v, x))
+fm = timeit("backbone(block3,os16)", bb_fn, vb, images)
+print("feature map:", fm.shape, fm.dtype)
+
+fm_f = fm.astype(jnp.float32)
+A = fm.shape[1]*fm.shape[2]*12
+ref = generate_anchors_reference(256, [0.5,1,2], [0.25,0.5,1,2])
+anchors = generate_anchors_grid(ref, 16, fm.shape[1:3])
+scores = jax.random.uniform(key, (B, A, 2))
+deltas = jax.random.normal(key, (B, A, 4)) * 0.1
+
+# RPN proposal (NMS 12000 -> 2000)
+prop_fn = jax.jit(jax.vmap(lambda p, d: rpn_proposal(p, d, anchors, jnp.asarray([608., 800.]))))
+prop = timeit("rpn_proposal(12k->2k NMS)", prop_fn, scores, deltas)
+
+# ROI crop+pool on 2000 rois
+rois = prop["proposals"]
+roi_fn = jax.jit(jax.vmap(lambda f, r: roi_crop_pool(f, r, (608., 800.), crop_size=14)))
+pooled = timeit("roi_crop_pool(2000x14x14)", roi_fn, fm, rois)
+print("pooled:", pooled.shape, pooled.dtype)
+
+# Tail on B*2000 rois
+tail = BaseNetworkTail(dict(cfg.model.base_network), dtype=jnp.bfloat16)
+flat = pooled.reshape((-1,) + pooled.shape[2:])
+vt = jax.eval_shape(lambda: tail.init(key, flat))
+vt = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), vt)
+tail_fn = jax.jit(lambda v, x: tail.apply(v, x))
+timeit("tail(block4 on 2000 rois)", tail_fn, vt, flat)
+
+# Final per-class NMS (80 classes x 2000)
+cls_prob = jax.nn.softmax(jax.random.normal(key, (B, 2000, 81)), axis=-1)
+bbox_pred = jax.random.normal(key, (B, 2000, 320)) * 0.1
+from luminoth_tpu.models.fasterrcnn.rcnn_proposal import rcnn_proposal
+fin_fn = jax.jit(jax.vmap(lambda p, d, c, v: rcnn_proposal(p, d, c, v, jnp.asarray([608.,800.]), 80, min_prob_threshold=0.5)))
+timeit("rcnn_proposal(80cls NMS)", fin_fn, rois, bbox_pred, cls_prob, prop["valid"])
