@@ -195,14 +195,21 @@ def _plan_units(block_defs, output_stride, stride_first=False):
     accumulated stride reaches ``output_stride``, further strides become
     dilation rates. The root conv+pool contribute stride 4.
 
-    ``stride_first`` switches to torchvision's convention (downsampling on
-    the first unit of each block instead of slim's last) so converted
+    ``stride_first`` switches to torchvision's convention so converted
     torchvision-pretrained weights compute the features they were trained
-    for.
+    for. That convention differs from slim's in two ways: downsampling
+    happens on the FIRST unit of a block (slim: last), and it happens at
+    stage ENTRY, so the slim per-block strides shift one block later —
+    (2, 2, 2, 1) becomes (1, 2, 2, 2). Both yield the same overall stride.
     """
     plan = []
     current_stride = 4
     rate = 1
+    if stride_first:
+        shifted = (1,) + tuple(s for _, _, s in block_defs[:-1])
+        block_defs = tuple(
+            (bd, nu, st) for (bd, nu, _), st in zip(block_defs, shifted)
+        )
     for b, (base_depth, num_units, block_stride) in enumerate(block_defs, start=1):
         units = []
         for u in range(num_units):

@@ -169,6 +169,9 @@ def convert_backbone_file(pth_path, out_path, architecture):
 
     if architecture.startswith("resnet"):
         flat = convert_torchvision_resnet(state_dict, architecture)
+        # Stamp the stride layout so the loader can refuse a config that
+        # would run slim-style strides over torchvision-trained weights.
+        flat["__meta__/layout"] = np.asarray("torchvision")
     elif "vgg" in architecture:
         flat = convert_torchvision_vgg16(state_dict)
     else:
