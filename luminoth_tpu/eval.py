@@ -283,6 +283,9 @@ def evaluate_once(config, model, variables, writer=None, global_step=0,
 def eval(dataset_split, config_files, watch, from_global_step,
          override_params, files_per_class, max_detections):
     """``lumi eval`` (reference: eval.py:23-223)."""
+    from luminoth_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     logging.basicConfig(level=logging.INFO)
     config = get_config(list(config_files), override_params=override_params)
 

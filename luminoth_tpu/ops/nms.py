@@ -23,11 +23,16 @@ reference's per-class python loop (rcnn_proposal.py:77-135).
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from luminoth_tpu.ops.boxes import iou_matrix
 
-NEG_INF = jnp.float32(-1e37)
+# A host-side numpy scalar, NOT jnp: a module-level jnp scalar becomes an
+# eagerly-committed device array, and embedding it as an MLIR constant at
+# lowering time forces a device->host sync that can stall lowering for
+# tens of seconds behind queued work (catastrophic through a TPU tunnel).
+NEG_INF = np.float32(-1e37)
 
 
 def _self_suppression(iou_mask, alive0):

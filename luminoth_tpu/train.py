@@ -92,6 +92,16 @@ def load_pretrained_backbone(params, batch_stats, config):
     )
 
     flat = load_params_npz(weights_file)
+    layout = str(flat.pop("__meta__/layout", ""))
+    if layout == "torchvision" and not config.model.base_network.get(
+        "torchvision_compat"
+    ):
+        raise ValueError(
+            f"{weights_file} holds torchvision-layout ResNet weights "
+            "(stride on the first unit of each stage); set "
+            "model.base_network.torchvision_compat: True so the network "
+            "computes the features these weights were trained for."
+        )
     flat_params = {
         k[len("params/"):]: v for k, v in flat.items()
         if k.startswith("params/")
@@ -186,6 +196,9 @@ def _device_batch(batch, mesh):
 def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
         environment=None, max_steps=None):
     """Train a model per config. Returns the final TrainState."""
+    from luminoth_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     train_cfg = config.train
     model = get_model_fn(config.model.type)(
         to_plain(config), dtype=_model_dtype(config)

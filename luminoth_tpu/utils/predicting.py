@@ -67,6 +67,11 @@ class PredictorNetwork:
     """Loads a model + checkpoint and predicts objects in images."""
 
     def __init__(self, config, variables=None, class_labels=None):
+        from luminoth_tpu.utils.compilation_cache import (
+            enable_persistent_cache,
+        )
+
+        enable_persistent_cache()
         self._config = config
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
             config.model.get("compute_dtype", "float32")
