@@ -22,6 +22,7 @@ class PascalVOCReader(ObjectDetectionReader):
         super().__init__(**kwargs)
         self._data_dir = data_dir
         self._split = split
+        self._classes_cache = None
 
         self._imagesets_path = os.path.join(data_dir, "ImageSets", "Main")
         self._images_path = os.path.join(data_dir, "JPEGImages")
@@ -41,14 +42,32 @@ class PascalVOCReader(ObjectDetectionReader):
         return len(self._image_ids)
 
     def get_classes(self):
-        classes = set()
-        for image_id in self._image_ids:
-            annotation = self._annotation_for(image_id)
-            if annotation is None:
-                continue
-            for obj in annotation.get("object", []):
-                classes.add(obj["name"])
-        return sorted(classes)
+        """Class list, from the per-class ImageSets listings when present.
+
+        VOC ships ``ImageSets/Main/<class>_<split>.txt`` files; reading
+        their names is O(#classes) (reference: pascalvoc.py:30-37). Only
+        VOC-style datasets without per-class listings fall back to the
+        O(dataset) scan of every annotation XML.
+        """
+        if self._classes_cache is not None:
+            return self._classes_cache
+        suffix = f"_{self._split}.txt"
+        classes = sorted(
+            name[: -len(suffix)]
+            for name in os.listdir(self._imagesets_path)
+            if name.endswith(suffix)
+        )
+        if not classes:
+            found = set()
+            for image_id in self._image_ids:
+                annotation = self._annotation_for(image_id)
+                if annotation is None:
+                    continue
+                for obj in annotation.get("object", []):
+                    found.add(obj["name"])
+            classes = sorted(found)
+        self._classes_cache = classes
+        return classes
 
     def _annotation_for(self, image_id):
         path = os.path.join(self._annotations_path, f"{image_id}.xml")

@@ -130,6 +130,19 @@ class TestReaders:
             "dog"
         )
 
+    def test_pascal_classes_from_imagesets(self, tmp_path):
+        """Per-class ImageSets listings are the O(#classes) fast path."""
+        root = make_voc(str(tmp_path))
+        main = os.path.join(root, "ImageSets", "Main")
+        for cls in ("dog", "cat", "bird"):
+            with open(os.path.join(main, f"{cls}_train.txt"), "w") as f:
+                f.write("im0  1\nim1 -1\n")
+        # Also a listing for another split, which must be ignored.
+        with open(os.path.join(main, "horse_val.txt"), "w") as f:
+            f.write("im0  1\n")
+        reader = get_reader("pascal")(root, "train")
+        assert reader.classes == ["bird", "cat", "dog"]
+
     def test_csv(self, tmp_path):
         root = make_csv(str(tmp_path))
         reader = get_reader("csv")(root, "train")
