@@ -260,7 +260,14 @@ class ResNet(nn.Module):
         if self.version == 1:
             x = _BatchNorm(self.train_bn, self.dtype, name="conv1_bn")(x)
             x = nn.relu(x)
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        if self.stride_first:
+            # torchvision: MaxPool2d(3, stride=2, padding=1) — implicit
+            # -inf padding.
+            x = jnp.pad(
+                x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                constant_values=-jnp.inf,
+            )
+        # else slim: max_pool2d(3, stride=2) defaults to VALID, no padding.
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         endpoints["root"] = x
 

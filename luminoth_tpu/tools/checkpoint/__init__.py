@@ -391,50 +391,116 @@ def refresh():
 
 @checkpoint.command(
     "convert-backbone",
-    help="Convert a torchvision .pth backbone into native .npz weights.",
+    help="Convert pretrained backbone weights (slim .ckpt or torchvision "
+         ".pth) into native .npz weights.",
 )
-@click.argument("pth_path")
+@click.argument("ckpt_path")
 @click.argument("out_path")
 @click.option(
     "--architecture", default="resnet_v1_101",
-    help="Target architecture (resnet_v1_{50,101,152} or truncated_vgg_16).",
+    help="Target architecture (resnet_v{1,2}_{50,101,152}, vgg_16 or "
+         "truncated_vgg_16).",
 )
-def convert_backbone(pth_path, out_path, architecture):
-    from luminoth_tpu.tools.checkpoint.convert import convert_backbone_file
+@click.option(
+    "--source", type=click.Choice(["auto", "slim", "torchvision"]),
+    default="auto",
+    help="Checkpoint format; 'auto' picks slim for .ckpt prefixes and "
+         "torchvision for .pth files.",
+)
+def convert_backbone(ckpt_path, out_path, architecture, source):
+    if source == "auto":
+        source = "torchvision" if ckpt_path.endswith(".pth") else "slim"
+    if source == "slim":
+        from luminoth_tpu.tools.checkpoint.slim_convert import (
+            convert_slim_checkpoint_file,
+        )
 
-    count = convert_backbone_file(pth_path, out_path, architecture)
+        count = convert_slim_checkpoint_file(ckpt_path, out_path, architecture)
+    else:
+        from luminoth_tpu.tools.checkpoint.convert import (
+            convert_backbone_file,
+        )
+
+        count = convert_backbone_file(ckpt_path, out_path, architecture)
     click.echo(f"Converted {count} arrays to {out_path}.")
 
 
 @checkpoint.command(
+    "convert-detector",
+    help="Convert a trained reference (TF/Luminoth) detector checkpoint "
+         "into a native checkpoint directory usable as train.job_dir.",
+)
+@click.argument("ckpt_path")
+@click.argument("out_dir")
+@click.option(
+    "config_files", "--config", "-c", required=True, multiple=True,
+    help="Model config matching the checkpoint (type, architecture, "
+         "num_classes).",
+)
+def convert_detector(ckpt_path, out_dir, config_files):
+    import os
+
+    from luminoth_tpu.tools.checkpoint.zoo_convert import (
+        convert_zoo_checkpoint,
+    )
+    from luminoth_tpu.utils.config import get_config
+
+    config = get_config(list(config_files))
+    n_loaded, n_total = convert_zoo_checkpoint(
+        ckpt_path, os.path.join(out_dir, "ckpt"), config
+    )
+    click.echo(
+        f"Converted {n_loaded}/{n_total} arrays into {out_dir}/ckpt. "
+        f"Point train.job_dir at {out_dir} to predict/evaluate."
+    )
+
+
+@checkpoint.command(
     "download-backbone",
-    help="Download + convert pretrained backbone weights (torchvision zoo).",
+    help="Download + convert pretrained backbone weights (slim ImageNet "
+         "checkpoints, the reference's pretrained source; or the "
+         "torchvision zoo).",
 )
 @click.argument("architecture")
 @click.option("--output", "-o", default=None, help="Output .npz path.")
-def download_backbone_cmd(architecture, output):
+@click.option(
+    "--source", type=click.Choice(["slim", "torchvision"]), default="slim",
+    help="Pretrained weight source.",
+)
+def download_backbone_cmd(architecture, output, source):
     import os
 
-    from luminoth_tpu.tools.checkpoint.convert import (
-        convert_backbone_file,
-        download_backbone,
-    )
     from luminoth_tpu.utils.homedir import get_home
 
     try:
-        pth = download_backbone(architecture)
+        if source == "slim":
+            from luminoth_tpu.tools.checkpoint.slim_convert import (
+                convert_slim_checkpoint_file,
+                download_slim_backbone,
+            )
+
+            ckpt = download_slim_backbone(architecture)
+            convert_fn = convert_slim_checkpoint_file
+        else:
+            from luminoth_tpu.tools.checkpoint.convert import (
+                convert_backbone_file,
+                download_backbone,
+            )
+
+            ckpt = download_backbone(architecture)
+            convert_fn = convert_backbone_file
     except Exception as e:
         click.echo(f"Download failed ({e}). If offline, download the "
-                   "torchvision checkpoint manually and run "
-                   "convert-backbone.")
+                   f"{source} checkpoint manually and run convert-backbone.")
         return
     output = output or os.path.join(
         get_home(), "pretrained", f"{architecture}.npz"
     )
-    count = convert_backbone_file(pth, output, architecture)
+    count = convert_fn(ckpt, output, architecture)
     click.echo(f"Saved {count} arrays to {output}. Use it with:\n"
-               f"  model.base_network.weights: {output}\n"
-               f"  model.base_network.torchvision_compat: True")
+               f"  model.base_network.weights: {output}")
+    if source == "torchvision" and architecture.startswith("resnet"):
+        click.echo("  model.base_network.torchvision_compat: True")
 
 
 @checkpoint.command(help="Download a remote checkpoint.")

@@ -100,17 +100,21 @@ _VGG_FEATURE_LAYOUT = [
 ]
 
 
-def convert_torchvision_vgg16(state_dict, scope="feature_extractor"):
-    """Map torchvision VGG-16 features onto the SSD extractor's VGG trunk."""
+def convert_torchvision_vgg16(state_dict,
+                              scopes=("feature_extractor", "base_network")):
+    """Map torchvision VGG-16 features onto the flax VGG trunk paths.
+
+    Emits under both the SSD extractor scope and the Faster R-CNN backbone
+    scope so one file serves either model; unknown scopes are skipped at
+    merge time.
+    """
     flat = {}
-    root = f"{scope}/vgg_16"
     for name, idx in _VGG_FEATURE_LAYOUT:
-        flat[f"params/{root}/{name}/kernel"] = _conv_kernel(
-            state_dict[f"features.{idx}.weight"]
-        )
-        flat[f"params/{root}/{name}/bias"] = np.asarray(
-            state_dict[f"features.{idx}.bias"], np.float32
-        )
+        kernel = _conv_kernel(state_dict[f"features.{idx}.weight"])
+        bias = np.asarray(state_dict[f"features.{idx}.bias"], np.float32)
+        for scope in scopes:
+            flat[f"params/{scope}/vgg_16/{name}/kernel"] = kernel
+            flat[f"params/{scope}/vgg_16/{name}/bias"] = bias
     return flat
 
 

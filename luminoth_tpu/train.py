@@ -102,6 +102,14 @@ def load_pretrained_backbone(params, batch_stats, config):
             "model.base_network.torchvision_compat: True so the network "
             "computes the features these weights were trained for."
         )
+    if layout == "slim" and config.model.base_network.get(
+        "torchvision_compat"
+    ):
+        raise ValueError(
+            f"{weights_file} holds slim-layout ResNet weights (stride on "
+            "the last unit of each block); remove "
+            "model.base_network.torchvision_compat from the config."
+        )
     flat_params = {
         k[len("params/"):]: v for k, v in flat.items()
         if k.startswith("params/")
