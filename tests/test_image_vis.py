@@ -1,0 +1,223 @@
+"""Smoke + numeric tests for the image_vis draw library.
+
+Every function registered in ``summaries_fn`` (all modes, both families)
+is invoked directly — not through the exception-swallowing dispatcher —
+on a synthetic prediction dict shaped like the real model outputs, so a
+broken rendering fails the suite instead of silently disappearing from
+TensorBoard. reference: luminoth/utils/image_vis.py:21-116 registry and
+its draw functions.
+"""
+
+import numpy as np
+import pytest
+
+from luminoth_tpu.utils import image_vis
+from luminoth_tpu.utils.image_vis import (
+    _np_smooth_l1,
+    _np_softmax_ce,
+    image_vis_summaries,
+    summaries_fn,
+)
+
+H, W = 96, 128
+A = 60          # anchors
+P = 12          # post-NMS proposals
+M = 16          # rcnn minibatch
+C = 4           # classes
+
+
+def _rng():
+    return np.random.RandomState(0)
+
+
+def _boxes(rng, n, max_x=W, max_y=H):
+    x1 = rng.uniform(0, max_x - 20, n)
+    y1 = rng.uniform(0, max_y - 20, n)
+    return np.stack(
+        [x1, y1, x1 + rng.uniform(8, 19, n), y1 + rng.uniform(8, 19, n)],
+        axis=1,
+    ).astype(np.float32)
+
+
+@pytest.fixture
+def image():
+    return _rng().uniform(0, 255, (H, W, 3)).astype(np.float32)
+
+
+@pytest.fixture
+def gt_boxes():
+    rng = _rng()
+    gt = np.concatenate(
+        [_boxes(rng, 3), rng.randint(0, C, (3, 1)).astype(np.float32)],
+        axis=1,
+    )
+    gt[2, 4] = -1.0  # one padded row
+    return gt
+
+
+@pytest.fixture
+def all_anchors():
+    return _boxes(_rng(), A)
+
+
+@pytest.fixture
+def frcnn_pred(all_anchors):
+    rng = _rng()
+    targets = np.full(A, -1.0, np.float32)
+    targets[:6] = 1.0
+    targets[6:18] = 0.0
+    cls_score = rng.randn(A, 2).astype(np.float32)
+    rcnn_labels = np.zeros(M, np.float32)
+    rcnn_labels[:5] = rng.randint(1, C + 1, 5)
+    return {
+        "rpn_prediction": {
+            "rpn_cls_score": cls_score,
+            "rpn_cls_prob": np.exp(cls_score)
+            / np.exp(cls_score).sum(-1, keepdims=True),
+            "rpn_bbox_pred": rng.randn(A, 4).astype(np.float32) * 0.1,
+            "rpn_cls_target": targets,
+            "rpn_bbox_target": rng.randn(A, 4).astype(np.float32) * 0.1,
+            "rpn_max_overlap": rng.uniform(0, 1, A).astype(np.float32),
+            "proposals": _boxes(rng, P),
+            "scores": rng.uniform(0, 1, P).astype(np.float32),
+            "proposals_valid": np.ones(P, bool),
+        },
+        "classification_prediction": {
+            "target": {
+                "cls": rcnn_labels,
+                "bbox_offsets": rng.randn(M, 4).astype(np.float32) * 0.1,
+                "selected_mask": np.ones(M, bool),
+            },
+            "proposals": _boxes(rng, M),
+            "proposals_valid": np.ones(M, bool),
+            "rcnn": {
+                "cls_score": rng.randn(M, C + 1).astype(np.float32),
+                "cls_prob": np.ones((M, C + 1), np.float32) / (C + 1),
+                "bbox_offsets": rng.randn(M, C * 4).astype(np.float32) * 0.1,
+            },
+            "objects": _boxes(rng, 5),
+            "labels": rng.randint(0, C, 5),
+            "probs": rng.uniform(0.5, 1, 5).astype(np.float32),
+            "valid": np.ones(5, bool),
+        },
+    }
+
+
+@pytest.fixture
+def ssd_pred():
+    rng = _rng()
+    anchors = _boxes(rng, A)
+    cls = np.zeros(A, np.float32)
+    cls[:5] = rng.randint(1, C + 1, 5)
+    cls[10:14] = -1.0
+    return {
+        "cls_pred": rng.randn(A, C + 1).astype(np.float32),
+        "loc_pred": rng.randn(A, 4).astype(np.float32) * 0.1,
+        "anchors": anchors,
+        "target": {
+            "cls": cls,
+            "bbox_offsets": rng.randn(A, 4).astype(np.float32) * 0.1,
+        },
+        "classification_prediction": {
+            "objects": _boxes(rng, 5),
+            "labels": rng.randint(0, C, 5),
+            "probs": rng.uniform(0.5, 1, 5).astype(np.float32),
+            "valid": np.ones(5, bool),
+        },
+    }
+
+
+def _registered(model):
+    seen, fns = set(), []
+    for mode_fns in summaries_fn[model].values():
+        for fn in mode_fns:
+            if fn.__name__ not in seen:
+                seen.add(fn.__name__)
+                fns.append(fn)
+    return fns
+
+
+def test_frcnn_debug_set_is_reference_sized():
+    # The reference debug registry exposes dozens of parametrized
+    # renderings (image_vis.py:41-103); ours must not regress to a stub.
+    assert len(summaries_fn["fasterrcnn"]["debug"]) >= 25
+    assert len(summaries_fn["ssd"]["debug"]) >= 10
+
+
+@pytest.mark.parametrize(
+    "fn", _registered("fasterrcnn"), ids=lambda f: f.__name__
+)
+def test_frcnn_draw_functions(fn, image, frcnn_pred, gt_boxes, all_anchors):
+    out = fn(
+        image,
+        prediction_dict=frcnn_pred,
+        gt_boxes=gt_boxes,
+        all_anchors=all_anchors,
+    )
+    assert out.dtype == np.uint8 and out.ndim == 3 and out.shape[2] == 3
+    if "draw_anchors" not in fn.__name__:  # that one expands the canvas
+        assert out.shape == (H, W, 3)
+
+
+@pytest.mark.parametrize("fn", _registered("ssd"), ids=lambda f: f.__name__)
+def test_ssd_draw_functions(fn, image, ssd_pred, gt_boxes):
+    out = fn(
+        image,
+        prediction_dict=ssd_pred,
+        gt_boxes=gt_boxes,
+        anchors=ssd_pred["anchors"],
+    )
+    assert out.dtype == np.uint8 and out.shape == (H, W, 3)
+
+
+def test_draw_functions_tolerate_empty_dicts(image):
+    # Eval-mode dicts lack training targets; every function must degrade
+    # to a no-op rendering rather than raise.
+    for model in ("fasterrcnn", "ssd"):
+        for fn in _registered(model):
+            out = fn(image, prediction_dict={}, gt_boxes=None,
+                     all_anchors=None)
+            assert out.ndim == 3
+
+
+def test_dispatcher_runs_debug_mode(image, frcnn_pred, gt_boxes, all_anchors):
+    out = image_vis_summaries(
+        frcnn_pred,
+        config={"type": "fasterrcnn"},
+        image_vis_mode="debug",
+        image=image,
+        gt_boxes=gt_boxes,
+        all_anchors=all_anchors,
+    )
+    # All registered renderings materialize under distinct tags.
+    assert len(out) == len(summaries_fn["fasterrcnn"]["debug"])
+    for img in out.values():
+        assert img.dtype == np.uint8
+
+
+def test_np_softmax_ce_matches_manual():
+    logits = np.array([[2.0, 1.0, 0.1], [0.0, 0.0, 0.0]])
+    labels = np.array([0, 2])
+    expected = -np.log(
+        np.exp(logits[np.arange(2), labels])
+        / np.exp(logits).sum(axis=1)
+    )
+    np.testing.assert_allclose(
+        _np_softmax_ce(logits, labels), expected, rtol=1e-12
+    )
+
+
+def test_np_smooth_l1_matches_device_twin():
+    import jax.numpy as jnp
+
+    from luminoth_tpu.ops.losses import smooth_l1_loss
+
+    rng = _rng()
+    pred = rng.randn(7, 4).astype(np.float32)
+    target = rng.randn(7, 4).astype(np.float32)
+    ours = _np_smooth_l1(pred, target, sigma=3.0)
+    theirs = np.asarray(
+        smooth_l1_loss(jnp.asarray(pred), jnp.asarray(target), sigma=3.0)
+    )
+    np.testing.assert_allclose(ours, theirs.sum(-1) if theirs.ndim == 2
+                               else theirs, rtol=1e-5)

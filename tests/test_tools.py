@@ -56,7 +56,9 @@ class TestImageVis:
             image=image, gt_boxes=gt, all_anchors=anchors,
         )
         assert "draw_gt_boxes" in out
-        assert "draw_rpn_proposals" in out
+        # Train mode mirrors the reference registry (image_vis.py:23-41):
+        # gt boxes + top NMS proposals + final objects.
+        assert "draw_top_nms_proposals" in out
         assert out["draw_gt_boxes"].shape == (60, 80, 3)
         # Something was drawn (image isn't all black anymore).
         assert out["draw_gt_boxes"].max() > 0
