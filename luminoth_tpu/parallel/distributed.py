@@ -1,0 +1,51 @@
+"""Multi-host (DCN) runtime initialization from the LUMI_* environment.
+
+Single source of truth for the env protocol between the cloud launcher
+(`tools/cloud/tpu.py` writes these vars into each worker's launch command)
+and the trainer (`train.py` reads them before building the mesh). Replaces
+the reference's TF_CONFIG ClusterSpec plumbing
+(reference: luminoth/train.py:282-326) with `jax.distributed`: every
+process joins the coordination service, after which `jax.devices()` spans
+all hosts and the data-parallel mesh simply covers them.
+"""
+
+import os
+
+ENV_COORDINATOR = "LUMI_COORDINATOR"
+ENV_NUM_PROCESSES = "LUMI_NUM_PROCESSES"
+ENV_PROCESS_ID = "LUMI_PROCESS_ID"
+
+
+def initialize_from_env(environ=None):
+    """Join the distributed runtime when LUMI_COORDINATOR is set.
+
+    Returns True if `jax.distributed.initialize` ran, False when the
+    environment selects single-process mode. On the CPU backend (virtual
+    meshes, tests) cross-process collectives need the gloo implementation;
+    TPU backends ignore the setting and use ICI/DCN natively.
+    """
+    environ = os.environ if environ is None else environ
+    coordinator = environ.get(ENV_COORDINATOR)
+    if not coordinator:
+        return False
+
+    import jax
+
+    platforms = jax.config.jax_platforms or environ.get("JAX_PLATFORMS", "")
+    if "cpu" in platforms:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=int(environ.get(ENV_NUM_PROCESSES, "1")),
+        process_id=int(environ.get(ENV_PROCESS_ID, "0")),
+    )
+    return True
+
+
+def worker_env(coordinator_host, coordinator_port, num_processes, process_id):
+    """The env assignments a launcher must set on worker `process_id`."""
+    return {
+        ENV_COORDINATOR: f"{coordinator_host}:{coordinator_port}",
+        ENV_NUM_PROCESSES: str(num_processes),
+        ENV_PROCESS_ID: str(process_id),
+    }

@@ -53,12 +53,15 @@ def build_launch_spec(name, zone, accelerator, version, config_path,
         f"--accelerator-type={accelerator}",
         f"--version={version}",
     ]
+    from luminoth_tpu.parallel.distributed import worker_env
+
     worker_cmds = []
     for process_id in range(num_hosts):
-        env = (
-            f"LUMI_COORDINATOR={name}-0:{coordinator_port} "
-            f"LUMI_NUM_PROCESSES={num_hosts} "
-            f"LUMI_PROCESS_ID={process_id}"
+        env = " ".join(
+            f"{k}={v}"
+            for k, v in worker_env(
+                f"{name}-0", coordinator_port, num_hosts, process_id
+            ).items()
         )
         worker_cmds.append(
             [

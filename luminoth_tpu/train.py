@@ -462,11 +462,8 @@ def train(config_files, override_params, max_steps):
     config = get_config(list(config_files), override_params=override_params)
 
     # Multi-host: initialize the distributed runtime when configured.
-    if os.environ.get("LUMI_COORDINATOR"):
-        jax.distributed.initialize(
-            coordinator_address=os.environ["LUMI_COORDINATOR"],
-            num_processes=int(os.environ.get("LUMI_NUM_PROCESSES", "1")),
-            process_id=int(os.environ.get("LUMI_PROCESS_ID", "0")),
-        )
+    from luminoth_tpu.parallel.distributed import initialize_from_env
+
+    initialize_from_env()
 
     return run(config, max_steps=max_steps)
