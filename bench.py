@@ -21,11 +21,14 @@ import time
 
 def _bench(fn, args, iters):
     # Timing fences use device_get (a real output fetch), not
-    # block_until_ready: on tunneled/experimental PJRT platforms the
-    # latter can return before execution finishes, reporting impossible
-    # sub-millisecond batch latencies. Executions are dispatched async
-    # and serialize on the device, so fetching the last output is an
-    # honest fence for the whole loop.
+    # block_until_ready: on this tunneled PJRT platform the latter
+    # returns immediately regardless of execution state (measured: 0.0 ms
+    # for a chained 4096x4096 matmul loop), so it is not a fence at all.
+    # Executions are dispatched async and serialize on the device, so
+    # fetching the last output is an honest fence for the whole loop.
+    # main() pays the tunnel's catastrophic first-fetch cost up front
+    # (see _tunnel_sync), after which a fetch costs ~31 ms of fixed RPC
+    # latency -- amortized over `iters`, noise against 100+ ms steps.
     import jax
 
     t0 = time.time()
@@ -41,7 +44,8 @@ def _bench(fn, args, iters):
     return compile_s, elapsed / iters
 
 
-def bench_frcnn_inference(batch=8, height=608, width=800, iters=10):
+def bench_frcnn_inference(batch=8, height=608, width=800, iters=10,
+                          overrides=()):
     import jax
     import jax.numpy as jnp
 
@@ -50,7 +54,9 @@ def bench_frcnn_inference(batch=8, height=608, width=800, iters=10):
         Config, get_base_config, get_model_config,
     )
 
-    cfg = get_model_config(get_base_config(FasterRCNN), Config({}), [])
+    cfg = get_model_config(
+        get_base_config(FasterRCNN), Config({}), list(overrides)
+    )
     cfg.model.network.num_classes = 80  # COCO
     cfg.model.base_network.architecture = "resnet_v1_101"
 
@@ -187,6 +193,206 @@ def bench_frcnn_train(batch=8, height=608, width=800, iters=10):
     }
 
 
+def _write_synthetic_coco_records(path, n=160, num_classes=80, seed=0):
+    """COCO-sized JPEG records through the real TFRecord codec."""
+    import io
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from luminoth_tpu.formats.example_pb import encode_sequence_example
+    from luminoth_tpu.formats.tfrecord import TFRecordWriter
+
+    rng = np.random.RandomState(seed)
+    sizes = [(480, 640), (375, 500), (426, 640), (612, 612)]
+    with TFRecordWriter(os.path.join(path, "train.tfrecords")) as w:
+        for i in range(n):
+            h, wd = sizes[i % len(sizes)]
+            arr = rng.randint(0, 255, (h, wd, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+            nb = int(rng.randint(1, 8))
+            x1 = rng.randint(0, wd - 60, nb)
+            y1 = rng.randint(0, h - 60, nb)
+            w.write(encode_sequence_example(
+                {"image_raw": buf.getvalue(),
+                 "filename": f"i{i}.jpg".encode(),
+                 "width": wd, "height": h, "depth": 3},
+                {"label": [[int(v)] for v in rng.randint(0, num_classes, nb)],
+                 "xmin": [[int(v)] for v in x1],
+                 "ymin": [[int(v)] for v in y1],
+                 "xmax": [[int(v + rng.randint(30, 60))] for v in x1],
+                 "ymax": [[int(v + rng.randint(30, 60))] for v in y1]},
+            ))
+
+
+def bench_train_pipeline(batch=8, iters=10, warmup=2,
+                         compute_step_ms=None, h2d_clean_mbps=None):
+    """Faster R-CNN training fed by the REAL input pipeline.
+
+    End-to-end `lumi train` data path: TFRecord read → protobuf decode →
+    JPEG decode → augment → resize → canvas pad → batch → uint8 transfer
+    → device cast, with the loader's background thread and the
+    device-prefetch stage (``prefetch_to_device``) overlapping host work
+    and uploads with device steps. Comparable to ``bench_frcnn_train``
+    (same model/canvas, random in-memory data) — the gap between the two
+    is the input-pipeline cost that isn't hidden by the accelerator.
+
+    On this tunneled TPU the measurement necessarily runs with the
+    process's transfer path degraded ~34x (see _tunnel_sync: the fences
+    earlier benches need poison it), so ``images_per_sec`` here is a
+    tunnel lower bound. ``composed_images_per_sec`` reads the same
+    pipeline against the CLEAN transfer bandwidth recorded in
+    detail.h2d_clean_MBps: steady state = slowest pipeline stage of
+    {loader, upload, train step}.
+    """
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from luminoth_tpu.datasets.object_detection_dataset import (
+        ObjectDetectionDataset,
+    )
+    from luminoth_tpu.models.fasterrcnn import FasterRCNN
+    from luminoth_tpu.train import (
+        TrainState, make_train_step, _device_batch, prefetch_to_device,
+    )
+    from luminoth_tpu.utils.config import (
+        Config, get_base_config, get_model_config,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="lumi_bench_data_")
+    _write_synthetic_coco_records(tmp, n=160)
+
+    cfg = get_model_config(get_base_config(FasterRCNN), Config({}), [])
+    cfg.model.network.num_classes = 80
+    cfg.model.base_network.architecture = "resnet_v1_101"
+    cfg.dataset.dir = tmp
+    cfg.dataset.transfer_dtype = "uint8"
+    cfg.dataset.image_preprocessing = Config({
+        "min_size": 600, "max_size": 800,
+        "canvas_height": 608, "canvas_width": 800,
+    })
+    cfg.train.batch_size = batch
+    cfg.train.num_epochs = 4 + (batch * (warmup + iters)) // 160
+
+    dataset = ObjectDetectionDataset(cfg, seed=0)
+    batches = iter(dataset)
+
+    # Loader-only rate (decode+augment+batch, no device work).
+    first = next(batches)
+    t0 = time.time()
+    loader_n = 0
+    for _ in range(6):
+        loader_n += next(batches)["image"].shape[0]
+    loader_rate = loader_n / (time.time() - t0)
+
+    model = FasterRCNN(cfg, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda k, img, gt: model.init(
+            {"params": k, "target": k, "dropout": k},
+            img, gt_boxes=gt, train=True,
+        )
+    )(key, first["image"][:1].astype(jnp.float32),
+      first["gt_boxes"][:1])
+    tx = optax.chain(
+        optax.clip_by_global_norm(10.0), optax.sgd(1e-4, momentum=0.9)
+    )
+    params = variables["params"]
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=variables.get("batch_stats", {}),
+    )
+    train_step = make_train_step(model, tx)
+
+    t0 = time.time()
+    state, metrics = train_step(state, _device_batch(first, None), key)
+    jax.device_get(metrics["total_loss"])  # honest fence, see _bench
+    compile_s = time.time() - t0
+
+    # Timed end-to-end: loader thread + staged uploads + train steps.
+    staged = prefetch_to_device(batches, mesh=None, depth=2)
+    for _ in range(warmup - 1):
+        _, db = next(staged)
+        state, metrics = train_step(state, db, key)
+
+    t0 = time.time()
+    n = 0
+    for _ in range(iters):
+        b, db = next(staged)
+        n += b["image"].shape[0]
+        state, metrics = train_step(state, db, key)
+    jax.device_get(metrics["total_loss"])  # honest fence, see _bench
+    elapsed = time.time() - t0
+
+    out = {
+        "images_per_sec": round(n / elapsed, 3),
+        "loader_only_images_per_sec": round(loader_rate, 3),
+        "batch": batch,
+        "canvas": [608, 800],
+        "transfer": "uint8",
+        "compile_s": round(compile_s, 1),
+        "step_ms": round(1000 * elapsed / iters, 1),
+    }
+    if compute_step_ms and h2d_clean_mbps:
+        upload_bytes = batch * 608 * 800 * 3  # uint8 canvas
+        upload_ms = 1000 * upload_bytes / (h2d_clean_mbps * 1e6)
+        stage_ms = max(
+            compute_step_ms, upload_ms, 1000 * batch / loader_rate
+        )
+        out["composed_images_per_sec"] = round(batch / (stage_ms / 1000), 3)
+        out["composed_stage_ms"] = {
+            "train_step": compute_step_ms,
+            "upload_clean": round(upload_ms, 1),
+            "loader": round(1000 * batch / loader_rate, 1),
+        }
+    return out
+
+
+def _h2d_mbps(nbytes=46_000_000, reps=3):
+    """Host->device bandwidth via device_put (block_until_ready on a
+    transfer reflects real completion: measured times scale with size)."""
+    import numpy as np
+    import jax
+
+    x = np.random.rand(nbytes // 4).astype(np.float32)
+    d = jax.device_put(x)
+    d.block_until_ready()  # warm the path
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        d = jax.device_put(x)
+        d.block_until_ready()
+        best = min(best, time.time() - t0)
+    return nbytes / best / 1e6
+
+
+def _tunnel_sync():
+    """Pay the tunnel's first device->host fetch up front, timed.
+
+    On this environment's tunneled TPU the FIRST D2H fetch in a process
+    takes 12-300 s (any size, any provenance) and permanently degrades
+    transfer bandwidth ~34x for the process; block_until_ready is not a
+    fence (returns immediately) and host callbacks are unimplemented, so
+    a fetch is the only sync primitive. Doing one here keeps that cost
+    out of every compile_s / step timing below. Real (non-tunneled) TPU
+    attachments do not behave this way; the clean-path H2D bandwidth is
+    recorded separately so the pipeline numbers can be read against it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    jax.device_get(jnp.zeros(()))
+    return time.time() - t0
+
+
 def main():
     import jax
 
@@ -198,6 +404,9 @@ def main():
     only = sys.argv[2] if len(sys.argv) > 2 else "all"
 
     detail = {"device": str(jax.devices()[0])}
+    detail["h2d_clean_MBps"] = round(_h2d_mbps(), 1)
+    detail["tunnel_first_fetch_s"] = round(_tunnel_sync(), 1)
+    detail["h2d_poisoned_MBps"] = round(_h2d_mbps(), 1)
     frcnn = None
     if only in ("all", "frcnn"):
         frcnn = bench_frcnn_inference(batch=batch)
@@ -206,6 +415,13 @@ def main():
         detail["ssd_inference"] = bench_ssd_inference()
     if only in ("all", "train"):
         detail["fasterrcnn_train"] = bench_frcnn_train(batch=batch)
+    if only in ("all", "pipeline"):
+        train_detail = detail.get("fasterrcnn_train") or {}
+        detail["fasterrcnn_train_pipeline"] = bench_train_pipeline(
+            batch=batch,
+            compute_step_ms=train_detail.get("step_ms"),
+            h2d_clean_mbps=detail.get("h2d_clean_MBps"),
+        )
 
     baseline = 1.6  # reference eval throughput, images/s
     value = frcnn["images_per_sec"] if frcnn else 0.0

@@ -201,6 +201,15 @@ class ObjectDetectionDataset:
         if num_workers is None:
             num_workers = int(config.dataset.get("num_workers", 4))
         self._num_workers = max(1, num_workers)
+        # "uint8" ships quantized canvases to the device (4x less
+        # host->device traffic); the train step casts back to float.
+        transfer = str(config.dataset.get("transfer_dtype", "float32"))
+        if transfer not in ("float32", "uint8"):
+            raise ValueError(
+                "dataset.transfer_dtype must be float32 or uint8, got "
+                f"{transfer!r}"
+            )
+        self._transfer_dtype = np.uint8 if transfer == "uint8" else np.float32
 
         data_dir = self._dataset_config.dir
         if not os.path.isdir(data_dir):
@@ -286,6 +295,12 @@ class ObjectDetectionDataset:
             self._buckets, resized.shape[0], resized.shape[1]
         )
         padded, (h, w) = pad_to_canvas(resized, canvas)
+        if self._transfer_dtype == np.uint8:
+            # Quantize the canvas for transfer: 4x less host->device
+            # bandwidth (PCIe/tunnel), the step casts back on device.
+            # Pixels started as uint8; the resize's sub-integer precision
+            # is below augmentation noise.
+            padded = np.clip(np.rint(padded), 0.0, 255.0).astype(np.uint8)
         scale = result.get("scale_factor", 1.0)
         if isinstance(scale, tuple):
             scale = float(np.mean(scale))

@@ -16,6 +16,7 @@ Like the reference's ``run()`` (train.py:19-21), ``run(config)`` accepts
 injectable ``get_model_fn`` / ``get_dataset_fn`` seams for testing.
 """
 
+import collections
 import logging
 import os
 import time
@@ -140,6 +141,11 @@ def make_train_step(model, tx, mesh=None, train_batch_norm=False):
     """
 
     def train_step(state, batch, rng):
+        if batch["image"].dtype == jnp.uint8:
+            # uint8 transfer path (dataset.transfer_dtype): cast back to
+            # float on device, where the conversion fuses into the first
+            # conv instead of quadrupling host->device traffic.
+            batch = dict(batch, image=batch["image"].astype(jnp.float32))
         rng_target, rng_dropout = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
@@ -197,8 +203,36 @@ def _device_batch(batch, mesh):
     out = {k: v for k, v in batch.items() if k in keep}
     if mesh is not None:
         sharding = batch_sharding(mesh)
-        out = {k: jax.device_put(v, sharding) for k, v in out.items()}
-    return out
+        return {k: jax.device_put(v, sharding) for k, v in out.items()}
+    # Explicit device_put (instead of letting jit transfer at call time)
+    # so prefetch_to_device can issue batch k+1's upload while step k is
+    # still executing.
+    return {k: jax.device_put(v) for k, v in out.items()}
+
+
+def prefetch_to_device(batch_iter, mesh=None, depth=2):
+    """Yield ``(host_batch, device_batch)`` with uploads issued ahead.
+
+    Keeps ``depth`` batches in flight on device so the host->device
+    transfer of batch k+1 overlaps the (async-dispatched) step k. The
+    host dict is kept alongside for logging metadata (filenames, counts).
+    Replaces the reference's StagingArea-less feed_dict (its queue
+    runners stop at host memory; this stages onto the chip).
+    """
+    buf = collections.deque()
+    it = iter(batch_iter)
+    exhausted = False
+    while True:
+        while not exhausted and len(buf) < depth:
+            try:
+                b = next(it)
+            except StopIteration:
+                exhausted = True
+                break
+            buf.append((b, _device_batch(b, mesh)))
+        if not buf:
+            return
+        yield buf.popleft()
 
 
 def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
@@ -323,8 +357,11 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
                     variables = {"params": params}
                     if batch_stats:
                         variables["batch_stats"] = batch_stats
+                    image = batch["image"]
+                    if image.dtype == jnp.uint8:
+                        image = image.astype(jnp.float32)
                     return model.apply(
-                        variables, batch["image"],
+                        variables, image,
                         gt_boxes=batch["gt_boxes"],
                         im_shape=batch.get("im_shape"),
                         train=False,
@@ -372,10 +409,11 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
     log_every = int(train_cfg.get("log_every_steps") or 1)
     step = int(state.step)
     try:
-        for batch in batches():
-            if batch["image"].shape[0] != batch_size:
-                continue
-            device_batch = _device_batch(batch, mesh)
+        staged = prefetch_to_device(
+            (b for b in batches() if b["image"].shape[0] == batch_size),
+            mesh,
+        )
+        for batch, device_batch in staged:
             t0 = time.time()
             state, metrics = train_step(state, device_batch, rng)
             step += 1

@@ -87,8 +87,15 @@ class PredictorNetwork:
         self._variables = jax.device_put(variables)
         self.class_labels = class_labels
 
+        transfer = str(config.dataset.get("transfer_dtype", "float32"))
+        self._transfer_dtype = (
+            np.uint8 if transfer == "uint8" else np.float32
+        )
+
         @jax.jit
         def forward(variables, image, im_shape):
+            if image.dtype == jnp.uint8:
+                image = image.astype(jnp.float32)
             preds = self._model.apply(
                 variables, image, im_shape=im_shape, train=False
             )
@@ -137,7 +144,11 @@ class PredictorNetwork:
             shapes.append(shapes[-1])
             scales.append(scales[-1])
 
-        batch_image = jnp.asarray(np.stack(padded_images))
+        stacked = np.stack(padded_images)
+        if self._transfer_dtype == np.uint8:
+            # Quarter the upload; the jitted forward casts on device.
+            stacked = np.clip(np.rint(stacked), 0.0, 255.0).astype(np.uint8)
+        batch_image = jnp.asarray(stacked)
         im_shape = jnp.asarray(shapes, dtype=jnp.float32)
         objects_b, labels_b, probs_b, valid_b = jax.device_get(
             self._forward(self._variables, batch_image, im_shape)

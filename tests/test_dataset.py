@@ -174,3 +174,26 @@ class TestCanvasBuckets:
         assert (128, 64) in shapes
         # Every batch is homogeneous by construction.
         assert all(s in ((64, 128), (128, 64), (128, 128)) for s in shapes)
+
+
+class TestUint8Transfer:
+    def test_uint8_batches(self, tmp_path):
+        data_dir = write_split(tmp_path, n=4)
+        cfg = ssd_like_config(data_dir, batch_size=2)
+        cfg.dataset.transfer_dtype = "uint8"
+        ds = ObjectDetectionDataset(cfg, augment=False)
+        b = next(iter(ds))
+        assert b["image"].dtype == np.uint8
+        # same pixels as the float pipeline, just quantized
+        cfg_f = ssd_like_config(data_dir, batch_size=2)
+        bf = next(iter(ObjectDetectionDataset(cfg_f, augment=False)))
+        np.testing.assert_allclose(
+            b["image"].astype(np.float32), bf["image"], atol=0.5
+        )
+
+    def test_bad_transfer_dtype(self, tmp_path):
+        data_dir = write_split(tmp_path, n=1)
+        cfg = ssd_like_config(data_dir)
+        cfg.dataset.transfer_dtype = "float16"
+        with pytest.raises(ValueError):
+            ObjectDetectionDataset(cfg)

@@ -183,3 +183,61 @@ def test_per_module_weight_decay_coefficients():
     assert coeffs["rpn"]["conv"]["kernel"] == 0.001
     assert coeffs["rpn"]["conv"]["bias"] == 0.0
     assert coeffs["rcnn"]["fc_classifier"]["kernel"] == 0.0
+
+
+class TestPrefetchToDevice:
+    def test_yields_all_batches_in_order(self):
+        import jax
+
+        batches = [
+            {"image": np.full((2, 4, 4, 3), i, np.float32),
+             "gt_boxes": np.zeros((2, 4, 5), np.float32),
+             "filename": [f"{i}.jpg"] * 2}
+            for i in range(5)
+        ]
+        out = list(train_module.prefetch_to_device(iter(batches), None))
+        assert len(out) == 5
+        for i, (host, dev) in enumerate(out):
+            assert host["filename"][0] == f"{i}.jpg"
+            assert isinstance(dev["image"], jax.Array)
+            assert float(dev["image"][0, 0, 0, 0]) == i
+            # metadata keys aren't uploaded
+            assert "filename" not in dev
+
+    def test_empty_iterator(self):
+        assert list(train_module.prefetch_to_device(iter([]), None)) == []
+
+    def test_short_iterator_below_depth(self):
+        batches = [{"image": np.zeros((1, 2, 2, 3), np.float32)}]
+        out = list(
+            train_module.prefetch_to_device(iter(batches), None, depth=4)
+        )
+        assert len(out) == 1
+
+
+class TestUint8TrainStep:
+    def test_step_casts_uint8_on_device(self):
+        import jax
+        import optax
+
+        model = MockModel(config={})
+        images = np.full((2, 16, 16, 3), 100, np.uint8)
+        gt = np.zeros((2, 4, 5), np.float32)
+        variables = model.init(jax.random.PRNGKey(0), images.astype(np.float32))
+        tx = optax.sgd(0.01)
+        state = train_module.TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=variables["params"],
+            opt_state=tx.init(variables["params"]),
+            batch_stats={},
+        )
+        step = train_module.make_train_step(model, tx)
+        batch = {"image": jnp.asarray(images), "gt_boxes": jnp.asarray(gt)}
+        state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+        expected = float(jnp.mean(jnp.square(
+            jnp.full((2, 1), 300.0)  # mean pixel 100 x kernel ones (3,1)
+        )))
+        assert np.isfinite(float(metrics["total_loss"]))
+        np.testing.assert_allclose(
+            float(metrics["total_loss"]), expected, rtol=1e-5
+        )
