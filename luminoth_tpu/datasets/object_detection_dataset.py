@@ -38,7 +38,12 @@ from luminoth_tpu.utils.image import (
 
 
 def decode_image_bytes(data):
-    """Decode JPEG/PNG bytes to an RGB float32 (H, W, 3) array."""
+    """Decode JPEG/PNG bytes to an RGB uint8 (H, W, 3) array.
+
+    Stays uint8: the resize/flip/pad ops are dtype-preserving, so the
+    host pipeline moves 4x fewer bytes end to end; the final dtype is
+    settled once per example in ``_prepare``.
+    """
     try:
         import cv2
 
@@ -46,19 +51,17 @@ def decode_image_bytes(data):
         img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
         if img is None:
             raise ValueError("cv2 could not decode image")
-        return img[..., ::-1].astype(np.float32)  # BGR → RGB
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     except Exception:
         import io
 
         from PIL import Image
 
-        return np.asarray(
-            Image.open(io.BytesIO(data)).convert("RGB"), dtype=np.float32
-        )
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
 
 
 def parse_record(record_bytes):
-    """SequenceExample bytes → (image float32, bboxes (N, 5), filename)."""
+    """SequenceExample bytes → (image uint8, bboxes (N, 5), filename)."""
     context, lists = decode_sequence_example(record_bytes)
     image = decode_image_bytes(context["image_raw"][0])
     num = len(lists.get("label", []))
@@ -158,13 +161,18 @@ def pick_bucket(buckets, h, w):
 
 
 def pad_to_canvas(image, canvas_hw):
-    """Zero-pad bottom/right to the canvas; returns (padded, (h, w))."""
+    """Zero-pad bottom/right to the canvas; returns (padded, (h, w)).
+
+    dtype-preserving (uint8 canvases stay uint8 for the slim transfer
+    path; float inputs keep the reference's float32 semantics).
+    """
     h, w = image.shape[0], image.shape[1]
     ch, cw = canvas_hw
     if h > ch or w > cw:
         image = image[:ch, :cw]
         h, w = image.shape[0], image.shape[1]
-    out = np.zeros((ch, cw, image.shape[2]), dtype=np.float32)
+    dtype = image.dtype if image.dtype == np.uint8 else np.float32
+    out = np.zeros((ch, cw, image.shape[2]), dtype=dtype)
     out[:h, :w] = image
     return out, (h, w)
 
@@ -294,13 +302,18 @@ class ObjectDetectionDataset:
         canvas = pick_bucket(
             self._buckets, resized.shape[0], resized.shape[1]
         )
-        padded, (h, w) = pad_to_canvas(resized, canvas)
+        # Settle the transfer dtype BEFORE padding (smaller array). The
+        # pipeline is uint8 end to end unless a photometric augmentation
+        # promoted it; quantizing back costs <0.5 intensity, below
+        # augmentation noise, and uint8 ships 4x less host->device.
         if self._transfer_dtype == np.uint8:
-            # Quantize the canvas for transfer: 4x less host->device
-            # bandwidth (PCIe/tunnel), the step casts back on device.
-            # Pixels started as uint8; the resize's sub-integer precision
-            # is below augmentation noise.
-            padded = np.clip(np.rint(padded), 0.0, 255.0).astype(np.uint8)
+            if resized.dtype != np.uint8:
+                resized = np.clip(
+                    np.rint(resized), 0.0, 255.0
+                ).astype(np.uint8)
+        elif resized.dtype != np.float32:
+            resized = resized.astype(np.float32)
+        padded, (h, w) = pad_to_canvas(resized, canvas)
         scale = result.get("scale_factor", 1.0)
         if isinstance(scale, tuple):
             scale = float(np.mean(scale))

@@ -133,6 +133,9 @@ def get_checkpoints(run_dir, last_step=0):
 def _build_forward(model):
     @jax.jit
     def forward(variables, image, gt_boxes, im_shape):
+        if image.dtype == jnp.uint8:
+            # dataset.transfer_dtype=uint8: cast back on device.
+            image = image.astype(jnp.float32)
         preds = model.apply(
             variables, image, gt_boxes=gt_boxes, im_shape=im_shape,
             train=False,

@@ -130,9 +130,14 @@ class PredictorNetwork:
         shapes = []
         scales = []
         for image in images:
-            result = preprocess_image(
-                self._config, np.asarray(image, dtype=np.float32)
-            )
+            arr = np.asarray(image)
+            if self._transfer_dtype == np.uint8:
+                # uint8-native host path: faster resize, 4x smaller upload.
+                if arr.dtype != np.uint8:
+                    arr = np.clip(np.rint(arr), 0.0, 255.0).astype(np.uint8)
+            elif arr.dtype != np.float32:
+                arr = arr.astype(np.float32)
+            result = preprocess_image(self._config, arr)
             padded, (h, w) = pad_to_canvas(result["image"], self._canvas)
             padded_images.append(padded)
             shapes.append((float(h), float(w)))
@@ -144,11 +149,7 @@ class PredictorNetwork:
             shapes.append(shapes[-1])
             scales.append(scales[-1])
 
-        stacked = np.stack(padded_images)
-        if self._transfer_dtype == np.uint8:
-            # Quarter the upload; the jitted forward casts on device.
-            stacked = np.clip(np.rint(stacked), 0.0, 255.0).astype(np.uint8)
-        batch_image = jnp.asarray(stacked)
+        batch_image = jnp.asarray(np.stack(padded_images))
         im_shape = jnp.asarray(shapes, dtype=jnp.float32)
         objects_b, labels_b, probs_b, valid_b = jax.device_get(
             self._forward(self._variables, batch_image, im_shape)
