@@ -193,6 +193,73 @@ def bench_frcnn_train(batch=8, height=608, width=800, iters=10):
     }
 
 
+def bench_ssd_train(batch=32, iters=10):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from luminoth_tpu.models.ssd import SSD
+    from luminoth_tpu.train import TrainState, make_train_step
+    from luminoth_tpu.utils.config import (
+        Config, get_base_config, get_model_config,
+    )
+
+    cfg = get_model_config(get_base_config(SSD), Config({}), [])
+    cfg.model.network.num_classes = 20  # Pascal VOC
+
+    model = SSD(cfg, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    images = jax.random.uniform(key, (batch, 300, 300, 3)) * 255.0
+    rng = np.random.RandomState(0)
+    gt = np.full((batch, 8, 5), -1.0, np.float32)
+    for b in range(batch):
+        for i in range(4):
+            x1, y1 = rng.uniform(0, 220), rng.uniform(0, 220)
+            gt[b, i] = [x1, y1, x1 + rng.uniform(40, 80),
+                        y1 + rng.uniform(40, 80), rng.randint(0, 20)]
+    gt_boxes = jnp.asarray(gt)
+
+    variables = jax.jit(
+        lambda k: model.init(
+            {"params": k, "target": k, "dropout": k},
+            images[:1], gt_boxes=gt_boxes[:1], train=True,
+        )
+    )(key)
+    tx = optax.chain(
+        optax.clip_by_global_norm(10.0), optax.sgd(1e-4, momentum=0.9)
+    )
+    params = variables["params"]
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=variables.get("batch_stats", {}),
+    )
+    train_step = make_train_step(model, tx)
+    train_batch = {"image": images, "gt_boxes": gt_boxes}
+
+    t0 = time.time()
+    state, metrics = train_step(state, train_batch, key)
+    jax.device_get(metrics["total_loss"])  # honest fence, see _bench
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(iters):
+        state, metrics = train_step(state, train_batch, key)
+    final_loss = float(jax.device_get(metrics["total_loss"]))
+    step_s = (time.time() - t0) / iters
+    return {
+        "images_per_sec": round(batch / step_s, 3),
+        "batch": batch,
+        "input": [300, 300],
+        "compile_s": round(compile_s, 1),
+        "step_ms": round(1000 * step_s, 1),
+        "final_loss": round(final_loss, 3) if math.isfinite(final_loss)
+        else None,
+    }
+
+
 def _write_synthetic_coco_records(path, n=160, num_classes=80, seed=0):
     """COCO-sized JPEG records through the real TFRecord codec."""
     import io
@@ -429,6 +496,7 @@ def main():
         detail["ssd_inference"] = bench_ssd_inference()
     if only in ("all", "train"):
         detail["fasterrcnn_train"] = bench_frcnn_train(batch=batch)
+        detail["ssd_train"] = bench_ssd_train()
     if only in ("all", "pipeline"):
         train_detail = detail.get("fasterrcnn_train") or {}
         detail["fasterrcnn_train_pipeline"] = bench_train_pipeline(

@@ -289,6 +289,8 @@ def eval(dataset_split, config_files, watch, from_global_step,
     from luminoth_tpu.utils.compilation_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    from luminoth_tpu.utils.tunnel import warm_transfer_path_async
+    warm_transfer_path_async()  # overlap first-fetch cost with compile
     logging.basicConfig(level=logging.INFO)
     config = get_config(list(config_files), override_params=override_params)
 

@@ -241,6 +241,8 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
     from luminoth_tpu.utils.compilation_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    from luminoth_tpu.utils.tunnel import warm_transfer_path_async
+    warm_transfer_path_async()  # overlap first-fetch cost with compile
     train_cfg = config.train
     model = get_model_fn(config.model.type)(
         to_plain(config), dtype=_model_dtype(config)

@@ -72,6 +72,10 @@ class PredictorNetwork:
         )
 
         enable_persistent_cache()
+        from luminoth_tpu.utils.tunnel import warm_transfer_path_async
+
+        # Overlap the attachment's first-fetch cost with model load+compile.
+        warm_transfer_path_async()
         self._config = config
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
             config.model.get("compute_dtype", "float32")
