@@ -193,6 +193,59 @@ def bench_frcnn_train(batch=8, height=608, width=800, iters=10):
     }
 
 
+def bench_serving(calls=20):
+    """End-to-end single-image serving latency through PredictorNetwork.
+
+    Covers the full user path: host preprocessing (uint8-native resize +
+    canvas pad), upload, jitted forward, NMS, result fetch, box rescale.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from luminoth_tpu.models.fasterrcnn import FasterRCNN
+    from luminoth_tpu.utils.config import (
+        Config, get_base_config, get_model_config,
+    )
+    from luminoth_tpu.utils.predicting import PredictorNetwork
+
+    cfg = get_model_config(get_base_config(FasterRCNN), Config({}), [])
+    cfg.model.network.num_classes = 80
+    cfg.model.base_network.architecture = "resnet_v1_101"
+    cfg.dataset.transfer_dtype = "uint8"
+    cfg.dataset.image_preprocessing = Config({
+        "min_size": 600, "max_size": 800,
+        "canvas_height": 608, "canvas_width": 800,
+    })
+
+    model = FasterRCNN(cfg, dtype=jnp.bfloat16)
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, 608, 800, 3)), train=False)
+    )(jax.random.PRNGKey(0))
+    network = PredictorNetwork(cfg, variables=variables)
+
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 255, (480, 640, 3), np.uint8)
+
+    t0 = time.time()
+    network.predict_image(image)  # compile + first transfer
+    first_s = time.time() - t0
+
+    lat = []
+    for _ in range(calls):
+        t0 = time.time()
+        network.predict_image(image)
+        lat.append(time.time() - t0)
+    lat.sort()
+    return {
+        "p50_ms": round(1000 * lat[len(lat) // 2], 1),
+        "p90_ms": round(1000 * lat[int(len(lat) * 0.9)], 1),
+        "first_call_s": round(first_s, 1),
+        "input": [480, 640],
+        "transfer": "uint8",
+    }
+
+
 def bench_ssd_train(batch=32, iters=10):
     import jax
     import jax.numpy as jnp
@@ -494,6 +547,8 @@ def main():
         detail["fasterrcnn_inference_serving1000"] = serving
     if only in ("all", "ssd"):
         detail["ssd_inference"] = bench_ssd_inference()
+    if only in ("all", "predict"):
+        detail["fasterrcnn_serving_latency"] = bench_serving()
     if only in ("all", "train"):
         detail["fasterrcnn_train"] = bench_frcnn_train(batch=batch)
         detail["ssd_train"] = bench_ssd_train()

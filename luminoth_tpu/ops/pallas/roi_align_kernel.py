@@ -3,15 +3,17 @@
 The XLA formulation of separable bilinear cropping writes the (R, S, W, C)
 "rows" intermediate to HBM between the two interpolation matmuls — several
 GB per image at R=2000 proposals, which makes the stage HBM-bound. This
-kernel keeps the entire feature map and the per-ROI intermediate in VMEM:
+kernel keeps the entire feature map and the per-tile intermediate in VMEM:
 
-    per ROI:  rows = Wy (S, H) @ fm (H, W·C)          (MXU)
-              crop = Wx (S, W) @ rowsᵀ (W, S·C)       (MXU)
-              out  = maxpool2x2(crop)                 (VPU, fused)
+    per tile: cols = Wx_stacked (T·S, W) @ fmᵀ (W, H·C)   (MXU, M=T·S)
+    per ROI:  crop = Wy (S, H) @ colsᵀ (H, S·C)           (MXU)
+              out  = maxpool2x2(crop)                     (VPU, fused)
 
 Only the pooled (S/2, S/2, C) crops ever touch HBM. The grid tiles the ROI
 axis; the feature map block is re-used across programs (constant index
-map → it stays resident).
+map → it stays resident). Shape choices (ROI stacking into M, W-first
+contraction order, bf16 intermediate) are hardware-measured — see the
+kernel body.
 """
 
 from functools import partial
@@ -22,26 +24,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _roi_kernel(wy_ref, wx_ref, fm_ref, out_ref, *, tile_r, s, pool):
+def _roi_kernel(wy_ref, wx_ref, fmt_ref, out_ref, *, tile_r, s, pool):
     h = wy_ref.shape[-1]
     w = wx_ref.shape[-1]
-    c = fm_ref.shape[-1] // w
+    c = fmt_ref.shape[-1] // h
 
-    fm = fm_ref[0]  # (H, W*C)
+    fmt = fmt_ref[0]  # (W, H*C) — feature map with W leading
+
+    # Column interpolation for the WHOLE tile in one matmul. Two shape
+    # choices matter (both measured on hardware):
+    #  * stacking the tile's ROIs lifts M from S (14 — 11% of the
+    #    128-row MXU) to tile_r*S;
+    #  * contracting the LARGER spatial dim (W) first makes the
+    #    intermediate (S, H*C) instead of (S, W*C) — the kernel is
+    #    VMEM-traffic-bound on this array, and H < W for wide canvases.
+    # The f32 accumulator is cast to bf16 to halve that traffic.
+    wx_all = wx_ref[0].reshape(tile_r * s, w)  # (tile_r*S, W)
+    cols_all = jnp.dot(
+        wx_all, fmt, preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)  # (tile_r*S_x, H*C)
 
     for j in range(tile_r):
-        wy = wy_ref[0, j]  # (S, H)
-        wx = wx_ref[0, j]  # (S, W)
-        rows = jnp.dot(
-            wy, fm, preferred_element_type=jnp.float32
-        )  # (S, W*C)
-        # (S, W, C) → (W, S, C) → (W, S*C): contraction axis in front.
-        rows = rows.reshape(s, w, c).transpose(1, 0, 2).reshape(w, s * c)
-        crop_t = jnp.dot(
-            wx, rows.astype(fm.dtype), preferred_element_type=jnp.float32
-        )  # (S_t, S_s*C)
-        # (t, s, c) → (s, t, c)
-        crop = crop_t.reshape(s, s, c).transpose(1, 0, 2)
+        # (S_x, H, C) → (H, S_x, C) → (H, S_x*C): contraction axis front.
+        cols = cols_all[j * s:(j + 1) * s]
+        cols = cols.reshape(s, h, c).transpose(1, 0, 2).reshape(h, s * c)
+        wy = wy_ref[0, j]  # (S_y, H)
+        crop = jnp.dot(
+            wy, cols, preferred_element_type=jnp.float32
+        ).reshape(s, s, c)  # (y, x, c) — already in output order
         if pool:
             crop = crop.reshape(s // 2, 2, s // 2, 2, c)
             crop = jnp.max(crop, axis=(1, 3))
@@ -170,7 +180,9 @@ def _roi_align_impl(feature_map, wy, wx, crop_size, tile_r=8, pool=True):
         wy = jnp.pad(wy, ((0, 0), (0, pad), (0, 0), (0, 0)))
         wx = jnp.pad(wx, ((0, 0), (0, pad), (0, 0), (0, 0)))
 
-    fm2d = feature_map.reshape(b, h, w * c)
+    # W-leading layout for the kernel's first contraction (one cheap HBM
+    # transpose per call, done by XLA outside the kernel).
+    fmt2d = feature_map.transpose(0, 2, 1, 3).reshape(b, w, h * c)
     dtype = feature_map.dtype
     wy = wy.astype(dtype)
     wx = wx.astype(dtype)
@@ -188,7 +200,7 @@ def _roi_align_impl(feature_map, wy, wx, crop_size, tile_r=8, pool=True):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, h, w * c), lambda bi, i: (bi, 0, 0),
+                (1, w, h * c), lambda bi, i: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -210,6 +222,6 @@ def _roi_align_impl(feature_map, wy, wx, crop_size, tile_r=8, pool=True):
             ),
             transcendentals=0,
         ),
-    )(wy, wx, fm2d)
+    )(wy, wx, fmt2d)
     out = out[:, :r]
     return out[0] if unbatched else out

@@ -1,9 +1,11 @@
 """Reproducible verification script (run from the repo root on a TPU host).
 
-See STATUS.md for the round-1 results this produced.
+See STATUS.md for the results this produced.
 """
-import time, sys
+import os, time, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
+import numpy as np
 from luminoth_tpu.models.fasterrcnn import FasterRCNN
 from luminoth_tpu.models.base.base_network import TruncatedBaseNetwork, BaseNetworkTail
 from luminoth_tpu.models.fasterrcnn.rpn_proposal import rpn_proposal
@@ -19,15 +21,31 @@ key = jax.random.PRNGKey(0)
 cfg = get_model_config(get_base_config(FasterRCNN), Config({}), [])
 cfg.model.network.num_classes = 80
 
+def _fence(out):
+    # On this tunneled platform block_until_ready is NOT a fence (returns
+    # immediately); fetch one element of one output as the sync point.
+    # main() below pays the first-fetch cost up front so this is ~31 ms,
+    # subtracted via the warmup fence being included in both runs.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(leaf.ravel()[:1])
+
+
 def timeit(name, fn, *args, iters=10):
-    out = fn(*args); jax.block_until_ready(out)
+    out = fn(*args)
+    _fence(out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     dt = (time.time() - t0) / iters
-    print(f"{name}: {dt*1000:.1f} ms")
+    print(f"{name}: {dt*1000:.1f} ms", flush=True)
     return out
+
+
+# Pay the platform's first-fetch cost before any timing.
+t0 = time.time()
+jax.device_get(jnp.zeros(()))
+print(f"first-fetch sync: {time.time()-t0:.1f} s", flush=True)
 
 images = jax.random.uniform(key, (B, H, W, 3)) * 255.0
 

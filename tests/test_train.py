@@ -241,3 +241,16 @@ class TestUint8TrainStep:
         np.testing.assert_allclose(
             float(metrics["total_loss"]), expected, rtol=1e-5
         )
+
+
+def test_warm_transfer_path_async_runs_once():
+    from luminoth_tpu.utils import tunnel
+
+    tunnel._started = False
+    t = tunnel.warm_transfer_path_async()
+    assert t is not None
+    t.join(timeout=30)
+    assert not t.is_alive()
+    # second call is a no-op
+    assert tunnel.warm_transfer_path_async() is None
+    tunnel._started = False
