@@ -89,7 +89,8 @@ def rcnn_proposal(
         & (scores_g >= min_prob_threshold)
     )
 
-    if pre_nms_max_candidates and pre_nms_max_candidates < p:
+    capped = bool(pre_nms_max_candidates and pre_nms_max_candidates < p)
+    if capped:
         # Optional top-k candidate cap before NMS: shrinks the padded
         # suppression sweep. Score-sorted, so every potential suppressor of
         # a kept box is included.
@@ -102,6 +103,9 @@ def rcnn_proposal(
     keep_idx, keep_mask = nms_padded_batch(
         objects, scores_g, float(class_nms_threshold), class_max_detections,
         valid=valid_g,
+        # top_k output is descending with invalids at the tail: the NMS
+        # can skip its own stable sort.
+        presorted=capped,
     )
     boxes_k = jnp.take_along_axis(objects, keep_idx[..., None], axis=1)
     scores_k = jnp.take_along_axis(scores_g, keep_idx, axis=1)

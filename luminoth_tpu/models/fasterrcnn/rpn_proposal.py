@@ -107,6 +107,9 @@ def rpn_proposal(
             float(nms_threshold),
             post_nms_top_n,
             valid=top_valid,
+            # top_k output is descending with invalids (-1) at the tail:
+            # the NMS can skip its own stable sort.
+            presorted=True,
         )
         out_proposals = jnp.take_along_axis(
             top_proposals, keep_idx[..., None], axis=1

@@ -96,6 +96,9 @@ def ssd_proposal(
     keep_idx, keep_mask = nms_padded_batch(
         boxes_g, scores_g, float(class_nms_threshold), class_max_detections,
         valid=valid_g,
+        # top_k output is descending with invalids (-1) at the tail: the
+        # NMS can skip its own stable sort.
+        presorted=True,
     )
     boxes_k = jnp.take_along_axis(boxes_g, keep_idx[..., None], axis=1)
     scores_k = jnp.take_along_axis(scores_g, keep_idx, axis=1)

@@ -171,8 +171,11 @@ def _on_tpu():
     return platform not in ("cpu", "gpu")
 
 
-@partial(jax.jit, static_argnames=("iou_threshold", "max_outputs"))
-def nms_padded_batch(boxes, scores, iou_threshold, max_outputs, valid=None):
+@partial(
+    jax.jit, static_argnames=("iou_threshold", "max_outputs", "presorted")
+)
+def nms_padded_batch(boxes, scores, iou_threshold, max_outputs, valid=None,
+                     presorted=False):
     """Grouped greedy NMS: (G, N) candidate groups in one pass.
 
     On TPU the whole sweep runs in one grouped Pallas kernel (grid over
@@ -182,6 +185,11 @@ def nms_padded_batch(boxes, scores, iou_threshold, max_outputs, valid=None):
 
     Args:
         boxes: (G, N, 4); scores: (G, N); valid: optional (G, N) bool.
+        presorted: the caller guarantees per-group scores (with invalid
+            entries masked low) are already non-increasing — true after a
+            ``top_k`` candidate cap, which every proposal stage applies.
+            Skips the stable argsort and its gathers (measured several ms
+            at the detection shapes).
 
     Returns:
         ``(indices, keep_mask)`` of shape (G, max_outputs): per group,
@@ -193,9 +201,14 @@ def nms_padded_batch(boxes, scores, iou_threshold, max_outputs, valid=None):
         valid = jnp.ones((g, n), dtype=bool)
 
     masked_scores = jnp.where(valid, scores, NEG_INF)
-    order = jnp.argsort(-masked_scores, axis=1, stable=True)
-    boxes_s = jnp.take_along_axis(boxes, order[..., None], axis=1)
-    valid_s = jnp.take_along_axis(valid, order, axis=1)
+    if presorted:
+        order = None
+        boxes_s = boxes
+        valid_s = valid
+    else:
+        order = jnp.argsort(-masked_scores, axis=1, stable=True)
+        boxes_s = jnp.take_along_axis(boxes, order[..., None], axis=1)
+        valid_s = jnp.take_along_axis(valid, order, axis=1)
 
     if _on_tpu():
         from luminoth_tpu.ops.pallas.nms_kernel import nms_alive_pallas
@@ -221,12 +234,18 @@ def nms_padded_batch(boxes, scores, iou_threshold, max_outputs, valid=None):
             lambda b, v: _alive_sorted_xla(b, v, iou_threshold, block)[:n]
         )(boxes_s, valid_s)
 
-    sorted_scores = jnp.take_along_axis(masked_scores, order, axis=1)
+    sorted_scores = (
+        masked_scores if presorted
+        else jnp.take_along_axis(masked_scores, order, axis=1)
+    )
     alive_scores = jnp.where(alive, sorted_scores, NEG_INF)
     k = min(max_outputs, n)
     top_scores, top_pos = jax.lax.top_k(alive_scores, k)
     keep_mask = top_scores > NEG_INF
-    indices = jnp.take_along_axis(order, top_pos, axis=1)
+    indices = (
+        top_pos if presorted
+        else jnp.take_along_axis(order, top_pos, axis=1)
+    )
 
     if max_outputs > n:
         extra = max_outputs - n
