@@ -34,6 +34,7 @@ from luminoth_tpu.utils.image import (
     apply_data_augmentation,
     resize_image,
     resize_image_fixed,
+    settle_transfer_dtype,
 )
 
 
@@ -295,6 +296,11 @@ class ObjectDetectionDataset:
     def _prepare(self, record, seed):
         rng = np.random.RandomState(seed)
         image, bboxes, filename = parse_record(record)
+        if self._transfer_dtype != np.uint8:
+            # Reference parity on the default path: interpolate in
+            # float32 (the reference resized float images). Only the
+            # opt-in uint8 path runs the faster integer pipeline.
+            image = image.astype(np.float32)
         result = preprocess_image(
             self._config, image, bboxes, rng=rng, augment=self._augment
         )
@@ -303,16 +309,10 @@ class ObjectDetectionDataset:
             self._buckets, resized.shape[0], resized.shape[1]
         )
         # Settle the transfer dtype BEFORE padding (smaller array). The
-        # pipeline is uint8 end to end unless a photometric augmentation
-        # promoted it; quantizing back costs <0.5 intensity, below
-        # augmentation noise, and uint8 ships 4x less host->device.
-        if self._transfer_dtype == np.uint8:
-            if resized.dtype != np.uint8:
-                resized = np.clip(
-                    np.rint(resized), 0.0, 255.0
-                ).astype(np.uint8)
-        elif resized.dtype != np.float32:
-            resized = resized.astype(np.float32)
+        # uint8 pipeline stays integer end to end unless a photometric
+        # augmentation promoted it; quantizing back costs <0.5 intensity,
+        # below augmentation noise, and ships 4x less host->device.
+        resized = settle_transfer_dtype(resized, self._transfer_dtype)
         padded, (h, w) = pad_to_canvas(resized, canvas)
         scale = result.get("scale_factor", 1.0)
         if isinstance(scale, tuple):

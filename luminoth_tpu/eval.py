@@ -286,11 +286,9 @@ def evaluate_once(config, model, variables, writer=None, global_step=0,
 def eval(dataset_split, config_files, watch, from_global_step,
          override_params, files_per_class, max_detections):
     """``lumi eval`` (reference: eval.py:23-223)."""
-    from luminoth_tpu.utils.compilation_cache import enable_persistent_cache
+    from luminoth_tpu.utils.compilation_cache import warm_start
 
-    enable_persistent_cache()
-    from luminoth_tpu.utils.tunnel import warm_transfer_path_async
-    warm_transfer_path_async()  # overlap first-fetch cost with compile
+    warm_start()  # persistent compile cache + async first-fetch
     logging.basicConfig(level=logging.INFO)
     config = get_config(list(config_files), override_params=override_params)
 

@@ -38,11 +38,14 @@ def _roi_kernel(wy_ref, wx_ref, fmt_ref, out_ref, *, tile_r, s, pool):
     #  * contracting the LARGER spatial dim (W) first makes the
     #    intermediate (S, H*C) instead of (S, W*C) — the kernel is
     #    VMEM-traffic-bound on this array, and H < W for wide canvases.
-    # The f32 accumulator is cast to bf16 to halve that traffic.
+    # The f32 accumulator is cast back to the feature map's dtype: bf16
+    # halves the traffic on the bf16 compute path, while an f32 model
+    # keeps full precision (and forward maxpool argmaxes that agree with
+    # the f32 recompute in the backward pass).
     wx_all = wx_ref[0].reshape(tile_r * s, w)  # (tile_r*S, W)
     cols_all = jnp.dot(
         wx_all, fmt, preferred_element_type=jnp.float32
-    ).astype(jnp.bfloat16)  # (tile_r*S_x, H*C)
+    ).astype(fmt.dtype)  # (tile_r*S_x, H*C)
 
     for j in range(tile_r):
         # (S_x, H, C) → (H, S_x, C) → (H, S_x*C): contraction axis front.
@@ -173,6 +176,11 @@ def _roi_align_impl(feature_map, wy, wx, crop_size, tile_r=8, pool=True):
     r = wy.shape[1]
     s = crop_size
     out_s = s // 2 if pool else s
+
+    if feature_map.dtype == jnp.float32:
+        # The f32 path keeps a full-precision intermediate (tile*S, H*C);
+        # halve the ROI tile so it stays within VMEM.
+        tile_r = max(2, tile_r // 2)
 
     num_tiles = -(-r // tile_r)
     pad = num_tiles * tile_r - r

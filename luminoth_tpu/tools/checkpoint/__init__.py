@@ -409,7 +409,19 @@ def refresh():
 )
 def convert_backbone(ckpt_path, out_path, architecture, source):
     if source == "auto":
-        source = "torchvision" if ckpt_path.endswith(".pth") else "slim"
+        base = ckpt_path.rsplit("/", 1)[-1]
+        if base.endswith((".pth", ".pt")):
+            source = "torchvision"
+        elif ".ckpt" in base or not os.path.splitext(base)[1]:
+            # slim checkpoints are "<name>.ckpt" prefixes (possibly with
+            # .data-*/.index suffixes) or bare prefixes.
+            source = "slim"
+        else:
+            raise click.UsageError(
+                f"Can't infer the checkpoint format of '{ckpt_path}': "
+                "expected a torchvision .pth/.pt file or a slim .ckpt "
+                "prefix. Pass --source explicitly."
+            )
     if source == "slim":
         from luminoth_tpu.tools.checkpoint.slim_convert import (
             convert_slim_checkpoint_file,

@@ -45,9 +45,12 @@ class PascalVOCReader(ObjectDetectionReader):
         """Class list, from the per-class ImageSets listings when present.
 
         VOC ships ``ImageSets/Main/<class>_<split>.txt`` files; reading
-        their names is O(#classes) (reference: pascalvoc.py:30-37). Only
-        VOC-style datasets without per-class listings fall back to the
-        O(dataset) scan of every annotation XML.
+        their names is O(#classes) (reference: pascalvoc.py:30-37, same
+        semantics: a class annotated in the XMLs but missing its
+        ImageSets listing is NOT part of the class set and its boxes are
+        skipped — use ``--only-classes`` or add the listing to include
+        it). Only VOC-style datasets without per-class listings fall
+        back to the O(dataset) scan of every annotation XML.
         """
         if self._classes_cache is not None:
             return self._classes_cache

@@ -238,11 +238,9 @@ def prefetch_to_device(batch_iter, mesh=None, depth=2):
 def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
         environment=None, max_steps=None):
     """Train a model per config. Returns the final TrainState."""
-    from luminoth_tpu.utils.compilation_cache import enable_persistent_cache
+    from luminoth_tpu.utils.compilation_cache import warm_start
 
-    enable_persistent_cache()
-    from luminoth_tpu.utils.tunnel import warm_transfer_path_async
-    warm_transfer_path_async()  # overlap first-fetch cost with compile
+    warm_start()  # persistent compile cache + async first-fetch
     train_cfg = config.train
     model = get_model_fn(config.model.type)(
         to_plain(config), dtype=_model_dtype(config)

@@ -50,3 +50,17 @@ def enable_persistent_cache(cache_dir=None):
         logger.info("persistent compilation cache at %s", cache_dir)
         _ENABLED = True
     return cache_dir
+
+
+def warm_start():
+    """Entry-point warm start, one call for every CLI surface.
+
+    Enables the persistent compilation cache and kicks off the async
+    transfer-path warmup (see utils/tunnel.py) so both behaviors stay in
+    sync across train/eval/predict/server.
+    """
+    cache_dir = enable_persistent_cache()
+    from luminoth_tpu.utils.tunnel import warm_transfer_path_async
+
+    warm_transfer_path_async()
+    return cache_dir

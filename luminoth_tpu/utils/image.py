@@ -22,6 +22,22 @@ except ImportError:  # pragma: no cover - cv2 is in the image
     cv2 = None
 
 
+def settle_transfer_dtype(image, transfer_dtype):
+    """Coerce an image to the configured device-transfer dtype.
+
+    One definition shared by the training loader and the serving path so
+    the two can never drift: uint8 rounds-and-clips (lossless for
+    integer-valued pixels), anything else becomes float32.
+    """
+    if transfer_dtype == np.uint8:
+        if image.dtype != np.uint8:
+            return np.clip(np.rint(image), 0.0, 255.0).astype(np.uint8)
+        return image
+    if image.dtype != np.float32:
+        return image.astype(np.float32)
+    return image
+
+
 def _resize(image, new_height, new_width):
     new_height, new_width = int(new_height), int(new_width)
     if cv2 is not None:
@@ -264,8 +280,15 @@ def expand(image, bboxes=None, fill=0, min_ratio=1, max_ratio=4, rng=None):
     pad_top = int(rng.uniform(0, new_height - height))
     pad_left = int(rng.uniform(0, new_width - width))
 
+    # A fill the image dtype can't represent exactly (fractional mean
+    # pixel, out-of-range sentinel) promotes the canvas to float32.
+    dtype = image.dtype
+    if dtype == np.uint8 and (
+        float(fill) != int(fill) or not 0 <= fill <= 255
+    ):
+        dtype = np.float32
     canvas = np.full((new_height, new_width, image.shape[2]), fill,
-                     dtype=image.dtype)
+                     dtype=dtype)
     canvas[pad_top : pad_top + height, pad_left : pad_left + width] = image
 
     result = {"image": canvas}

@@ -19,6 +19,7 @@ from luminoth_tpu.datasets.object_detection_dataset import (
     pad_to_canvas,
     preprocess_image,
 )
+from luminoth_tpu.utils.image import settle_transfer_dtype
 from luminoth_tpu.models import get_model
 from luminoth_tpu.utils.config import to_plain
 
@@ -67,15 +68,9 @@ class PredictorNetwork:
     """Loads a model + checkpoint and predicts objects in images."""
 
     def __init__(self, config, variables=None, class_labels=None):
-        from luminoth_tpu.utils.compilation_cache import (
-            enable_persistent_cache,
-        )
+        from luminoth_tpu.utils.compilation_cache import warm_start
 
-        enable_persistent_cache()
-        from luminoth_tpu.utils.tunnel import warm_transfer_path_async
-
-        # Overlap the attachment's first-fetch cost with model load+compile.
-        warm_transfer_path_async()
+        warm_start()  # persistent compile cache + async first-fetch
         self._config = config
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
             config.model.get("compute_dtype", "float32")
@@ -134,13 +129,11 @@ class PredictorNetwork:
         shapes = []
         scales = []
         for image in images:
-            arr = np.asarray(image)
-            if self._transfer_dtype == np.uint8:
-                # uint8-native host path: faster resize, 4x smaller upload.
-                if arr.dtype != np.uint8:
-                    arr = np.clip(np.rint(arr), 0.0, 255.0).astype(np.uint8)
-            elif arr.dtype != np.float32:
-                arr = arr.astype(np.float32)
+            # uint8 transfer: integer-native resize + 4x smaller upload;
+            # float transfer: reference float32 interpolation semantics.
+            arr = settle_transfer_dtype(
+                np.asarray(image), self._transfer_dtype
+            )
             result = preprocess_image(self._config, arr)
             padded, (h, w) = pad_to_canvas(result["image"], self._canvas)
             padded_images.append(padded)
