@@ -101,6 +101,7 @@ class TruncatedBaseNetwork(nn.Module):
                 endpoint=self.endpoint_name,
                 train_bn=train_bn,
                 stride_first=bool(self.config.get("torchvision_compat")),
+                remat=bool(self.config.get("remat")),
                 dtype=self.dtype,
                 name=self.architecture,
             )(x)

@@ -247,12 +247,20 @@ class ResNet(nn.Module):
     global_pool: bool = False
     train_bn: bool = False
     stride_first: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         block_defs = RESNET_BLOCK_DEFS[self.depth]
         unit_cls = BottleneckV1 if self.version == 1 else BottleneckV2
+        if self.remat:
+            # Per-unit rematerialization: the backward pass recomputes one
+            # bottleneck at a time instead of keeping every intermediate
+            # live — the structured remat a detector trunk needs (a single
+            # whole-function jax.checkpoint still peaks at full activation
+            # liveness during the backward sweep).
+            unit_cls = nn.remat(unit_cls)
         endpoints = {}
 
         x = x.astype(self.dtype)

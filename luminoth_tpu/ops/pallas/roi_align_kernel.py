@@ -92,7 +92,10 @@ def _roi_align_bwd(crop_size, pool, residuals, g):
     s = crop_size
     b, h, w, c = feature_map.shape
     r = wy.shape[1]
-    chunk = 256
+    # The recomputed pre-pool crop is (b, chunk, s, s, c) f32 — bound
+    # b*chunk so the transient stays ~hundreds of MB at any batch
+    # (chunk=256 at batch 16 allocated 3+ GB per buffer and OOM'd HBM).
+    chunk = min(max(16, 512 // b), r)
     num_chunks = -(-r // chunk)
     pad = num_chunks * chunk - r
 

@@ -125,3 +125,40 @@ def test_preprocess_means():
     np.testing.assert_allclose(
         out[0, 0], [128 - 123.68, 128 - 116.78, 128 - 103.94], rtol=1e-5
     )
+
+
+def test_unit_remat_preserves_params_and_outputs():
+    """remat=True must not change variable paths or forward values."""
+    import jax
+    import jax.numpy as jnp
+
+    from luminoth_tpu.models.base.base_network import TruncatedBaseNetwork
+
+    cfg = {"architecture": "resnet_v1_50", "output_stride": 16}
+    x = jnp.asarray(
+        np.random.RandomState(0).uniform(0, 255, (1, 64, 64, 3)),
+        jnp.float32,
+    )
+    net_plain = TruncatedBaseNetwork(cfg)
+    net_remat = TruncatedBaseNetwork({**cfg, "remat": True})
+    v_plain = net_plain.init(jax.random.PRNGKey(0), x)
+    v_remat = net_remat.init(jax.random.PRNGKey(0), x)
+    paths = lambda v: set(
+        "/".join(str(k.key) for k in p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(v)[0]
+    )
+    assert paths(v_plain) == paths(v_remat)
+    out_plain = net_plain.apply(v_plain, x)
+    out_remat = net_remat.apply(v_plain, x)
+    np.testing.assert_allclose(
+        np.asarray(out_plain), np.asarray(out_remat), rtol=1e-6
+    )
+
+    # gradients flow and match
+    g_plain = jax.grad(
+        lambda v: net_plain.apply(v, x).sum())(v_plain)
+    g_remat = jax.grad(
+        lambda v: net_remat.apply(v, x).sum())(v_plain)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)

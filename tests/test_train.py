@@ -254,3 +254,37 @@ def test_warm_transfer_path_async_runs_once():
     # second call is a no-op
     assert tunnel.warm_transfer_path_async() is None
     tunnel._started = False
+
+
+def test_remat_step_matches_plain_step():
+    import jax
+    import optax
+
+    model = MockModel(config={})
+    images = np.random.RandomState(0).uniform(
+        0, 255, (2, 16, 16, 3)).astype(np.float32)
+    gt = np.zeros((2, 4, 5), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), images)
+    tx = optax.sgd(0.01)
+
+    def run(remat):
+        # fresh copies: the train step donates its state buffers
+        params = jax.tree_util.tree_map(jnp.array, variables["params"])
+        state = train_module.TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            batch_stats={},
+        )
+        step = train_module.make_train_step(model, tx, remat=remat)
+        batch = {"image": jnp.asarray(images), "gt_boxes": jnp.asarray(gt)}
+        for _ in range(3):
+            state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        return float(metrics["total_loss"]), state.params
+
+    loss_plain, params_plain = run(False)
+    loss_remat, params_remat = run(True)
+    np.testing.assert_allclose(loss_remat, loss_plain, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(params_plain),
+                    jax.tree_util.tree_leaves(params_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
