@@ -196,15 +196,22 @@ def evaluate_once(config, model, variables, writer=None, global_step=0,
     start = time.time()
     total_images = 0
 
-    for batch_idx, batch in enumerate(dataset):
-        if max_batches is not None and batch_idx >= max_batches:
-            break
+    from luminoth_tpu.train import prefetch_to_device
+
+    def bounded():
+        for batch_idx, batch in enumerate(dataset):
+            if max_batches is not None and batch_idx >= max_batches:
+                return
+            yield batch
+
+    # Stage batch k+1's upload while batch k's forward runs.
+    for batch, device_batch in prefetch_to_device(bounded(), None):
         objects, labels, probs, valid, losses = jax.device_get(
             forward(
                 variables,
-                jnp.asarray(batch["image"]),
-                jnp.asarray(batch["gt_boxes"]),
-                jnp.asarray(batch["im_shape"]),
+                device_batch["image"],
+                device_batch["gt_boxes"],
+                device_batch["im_shape"],
             )
         )
         batch_size = objects.shape[0]
