@@ -29,6 +29,7 @@ import numpy as np
 
 from luminoth_tpu.datasets.exceptions import InvalidDataDirectory
 from luminoth_tpu.formats.example_pb import decode_sequence_example
+from luminoth_tpu.formats.native_example import parse_od_record
 from luminoth_tpu.formats.tfrecord import find_split_files, read_tfrecords
 from luminoth_tpu.utils.image import (
     apply_data_augmentation,
@@ -62,7 +63,16 @@ def decode_image_bytes(data):
 
 
 def parse_record(record_bytes):
-    """SequenceExample bytes → (image uint8, bboxes (N, 5), filename)."""
+    """SequenceExample bytes → (image uint8, bboxes (N, 5), filename).
+
+    Prefers the native C parser (one pass over the record, no python
+    protobuf walk — ``formats/native_example.py``); the python codec is
+    the no-compiler fallback and the semantics oracle for its tests.
+    """
+    parsed = parse_od_record(record_bytes)
+    if parsed is not None:
+        image_bytes, bboxes, filename, _ = parsed
+        return decode_image_bytes(image_bytes), bboxes, filename
     context, lists = decode_sequence_example(record_bytes)
     image = decode_image_bytes(context["image_raw"][0])
     num = len(lists.get("label", []))
