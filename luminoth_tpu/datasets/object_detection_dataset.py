@@ -284,7 +284,16 @@ class ObjectDetectionDataset:
                     yield from (tag(r) for r in records)
 
     def _make_batch(self, examples):
-        images = np.stack([e["image"] for e in examples])
+        # Pad directly into the batch buffer: one copy of each resized
+        # image instead of a per-example canvas pad + a stack copy.
+        ch, cw = examples[0]["bucket"]
+        dtype = examples[0]["image"].dtype
+        if dtype != np.uint8:
+            dtype = np.float32
+        images = np.zeros((len(examples), ch, cw, 3), dtype=dtype)
+        for i, e in enumerate(examples):
+            im = e["image"][:ch, :cw]
+            images[i, : im.shape[0], : im.shape[1]] = im
         gt = np.stack([e["gt_boxes"] for e in examples])
         im_shape = np.asarray(
             [e["im_shape"] for e in examples], dtype=np.float32
@@ -323,12 +332,14 @@ class ObjectDetectionDataset:
         # augmentation promoted it; quantizing back costs <0.5 intensity,
         # below augmentation noise, and ships 4x less host->device.
         resized = settle_transfer_dtype(resized, self._transfer_dtype)
-        padded, (h, w) = pad_to_canvas(resized, canvas)
+        h = min(resized.shape[0], canvas[0])
+        w = min(resized.shape[1], canvas[1])
         scale = result.get("scale_factor", 1.0)
         if isinstance(scale, tuple):
             scale = float(np.mean(scale))
         return {
-            "image": padded,
+            "image": resized,
+            "bucket": canvas,
             "gt_boxes": pad_gt_boxes(result.get("bboxes", bboxes), self._max_gt),
             "im_shape": (float(h), float(w)),
             "scale_factor": float(scale),
@@ -374,7 +385,7 @@ class ObjectDetectionDataset:
         """Accumulate per-bucket so batches stay shape-homogeneous."""
         pending = {}
         for example in self._prepared_stream():
-            bucket = example["image"].shape[:2]
+            bucket = example["bucket"]
             batch = pending.setdefault(bucket, [])
             batch.append(example)
             if len(batch) == self._batch_size:
