@@ -76,3 +76,28 @@ class TestNMSKernel:
             ref = np_nms(boxes, scores, 0.5)
             got = order[np.nonzero(alive[row])[0]]
             np.testing.assert_array_equal(np.sort(got), np.sort(ref))
+
+    def test_many_groups(self, rng):
+        """An odd group count over the (groups, tiles) grid."""
+        g, n, tile = 5, 128, 64
+        all_boxes, all_scores, orders = [], [], []
+        for _ in range(g):
+            b = random_boxes(rng, n, spread=50.0)
+            s = rng.uniform(0, 1, n).astype(np.float32)
+            o = np.argsort(-s)
+            all_boxes.append(b)
+            all_scores.append(s)
+            orders.append(o)
+        g_boxes = jnp.asarray(
+            np.stack([b[o] for b, o in zip(all_boxes, orders)])
+        ).transpose(0, 2, 1)
+        g_valid = jnp.ones((g, n), jnp.float32)
+        alive = np.asarray(
+            nms_alive_pallas(g_boxes, g_valid, 0.5, tile=tile,
+                             interpret=True)
+        ) > 0.5
+        assert alive.shape == (g, n)
+        for row in range(g):
+            ref = np_nms(all_boxes[row], all_scores[row], 0.5)
+            got = orders[row][np.nonzero(alive[row])[0]]
+            np.testing.assert_array_equal(np.sort(got), np.sort(ref))
