@@ -226,6 +226,48 @@ def info(id_or_alias):
     click.echo(json.dumps(entry, indent=2))
 
 
+_EDITABLE_FIELDS = (
+    "name", "description", "alias", "dataset.name", "dataset.num_classes",
+)
+
+
+def parse_entries(entries):
+    """``-e field=value`` metadata entries → dict (None on bad input).
+
+    Same surface as the reference CLI (tools/checkpoint/__init__.py:
+    220-245): a whitelisted, possibly-dotted field per entry, each field
+    at most once.
+    """
+    values = []
+    for entry in entries:
+        field, sep, value = entry.partition("=")
+        if not sep:
+            click.echo(f"Invalid entry {entry!r}; expected field=value.")
+            return None
+        values.append((field, value))
+    disallowed = [k for k, _ in values if k not in _EDITABLE_FIELDS]
+    if disallowed:
+        click.echo(
+            "The following fields may not be set: "
+            + ", ".join(disallowed)
+        )
+        return None
+    if len(values) != len({k for k, _ in values}):
+        click.echo("Repeated fields. Each field may be passed exactly once.")
+        return None
+    return dict(values)
+
+
+def apply_entries(entry, parsed):
+    """Write (possibly dotted) metadata fields into a checkpoint entry."""
+    for field, value in parsed.items():
+        target = entry
+        *parents, leaf = field.split(".")
+        for part in parents:
+            target = target.setdefault(part, {})
+        target[leaf] = value
+
+
 @checkpoint.command(help="Create a checkpoint from a configuration file.")
 @click.option(
     "config_files", "--config", "-c", required=True, multiple=True)
@@ -233,7 +275,13 @@ def info(id_or_alias):
     "override_params", "--override", "-o", multiple=True)
 @click.option("--entity", help="Entity that created the checkpoint.")
 @click.option("--alias", help="Alias for the new checkpoint.")
-def create(config_files, override_params, entity, alias):
+@click.option(
+    "entries", "--entry", "-e", multiple=True,
+    help="Specify checkpoint's metadata field value (field=value).")
+def create(config_files, override_params, entity, alias, entries):
+    parsed_entries = parse_entries(entries)
+    if parsed_entries is None:
+        return
     from luminoth_tpu.utils.checkpoint_io import CheckpointManager
     from flax import serialization
 
@@ -293,6 +341,7 @@ def create(config_files, override_params, entity, alias):
         "source": "local",
         "status": "LOCAL",
     }
+    apply_entries(entry, parsed_entries)
     merge_into_db(db, entry)
     save_checkpoint_db(db)
     click.echo(f"Checkpoint {checkpoint_id} created successfully.")
@@ -303,7 +352,13 @@ def create(config_files, override_params, entity, alias):
 @click.option("--alias")
 @click.option("--name")
 @click.option("--description")
-def edit(id_or_alias, alias, name, description):
+@click.option(
+    "entries", "--entry", "-e", multiple=True,
+    help="Specify checkpoint's metadata field value (field=value).")
+def edit(id_or_alias, alias, name, description, entries):
+    parsed_entries = parse_entries(entries)
+    if parsed_entries is None:
+        return
     db = read_checkpoint_db()
     entry = get_checkpoint(db, id_or_alias)
     if entry is None:
@@ -315,6 +370,7 @@ def edit(id_or_alias, alias, name, description):
         entry["name"] = name
     if description is not None:
         entry["description"] = description
+    apply_entries(entry, parsed_entries)
     merge_into_db(db, entry)
     save_checkpoint_db(db)
     click.echo("Checkpoint updated.")

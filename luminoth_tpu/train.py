@@ -501,16 +501,19 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
 @click.option(
     "config_files", "--config", "-c", required=True, multiple=True,
     help="Config to use.")
+@click.option("--job-dir", help="Job directory.")
 @click.option(
     "override_params", "--override", "-o", multiple=True,
     help="Override model config params.")
 @click.option(
     "--max-steps", type=int, default=None,
     help="Stop after this many steps (default: run all epochs).")
-def train(config_files, override_params, max_steps):
+def train(config_files, job_dir, override_params, max_steps):
     """``lumi train`` (reference: train.py:271-326)."""
     logging.basicConfig(level=logging.INFO)
     config = get_config(list(config_files), override_params=override_params)
+    if job_dir:
+        config.train.job_dir = job_dir
 
     # Multi-host: initialize the distributed runtime when configured.
     from luminoth_tpu.parallel.distributed import initialize_from_env

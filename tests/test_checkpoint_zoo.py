@@ -99,6 +99,24 @@ def test_zoo_lifecycle(zoo_env, tmp_path):
     db = read_checkpoint_db()
     assert db["checkpoints"][0]["description"] == "hello"
 
+    # edit via the reference's -e field=value metadata entries, incl. a
+    # dotted field (reference: tools/checkpoint/__init__.py:220-245,527)
+    result = runner.invoke(
+        checkpoint,
+        ["edit", "mymodel", "-e", "name=renamed",
+         "-e", "dataset.num_classes=2"],
+    )
+    assert result.exit_code == 0
+    db = read_checkpoint_db()
+    assert db["checkpoints"][0]["name"] == "renamed"
+    assert db["checkpoints"][0]["dataset"]["num_classes"] == "2"
+
+    # disallowed / repeated / malformed entries are rejected untouched
+    for bad in (["-e", "status=X"], ["-e", "name=a", "-e", "name=b"],
+                ["-e", "noequals"]):
+        result = runner.invoke(checkpoint, ["edit", "mymodel"] + bad)
+        assert read_checkpoint_db()["checkpoints"][0]["name"] == "renamed"
+
     # export → delete → import round trip
     out_dir = str(tmp_path / "exports")
     os.makedirs(out_dir, exist_ok=True)
