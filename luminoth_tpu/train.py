@@ -408,12 +408,25 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
         yield first_batch
         yield from batch_iter
 
+    # Numeric debugging (reference train.py:163-168: tfdbg session hook
+    # with the has_inf_or_nan filter): jax_debug_nans re-runs the
+    # offending computation eagerly and raises at the first non-finite
+    # value with its location.
+    debug_nans_prev = None
+    if train_cfg.get("tf_debug"):
+        debug_nans_prev = bool(jax.config.jax_debug_nans)
+        jax.config.update("jax_debug_nans", True)
+        logger.info("tf_debug: jax_debug_nans enabled")
+
     # Profiler trace capture (reference train.py:133-137 full_trace →
     # tf.RunOptions(FULL_TRACE); here: a jax.profiler trace of the first
-    # few steps, viewable in TensorBoard's profile tab).
+    # few steps, viewable in TensorBoard's profile tab — including the
+    # per-op timeline the reference's save_timeline knob pointed at).
     trace_dir = None
     trace_stop_step = None
-    if train_cfg.get("full_trace") and is_chief:
+    if (
+        train_cfg.get("full_trace") or train_cfg.get("save_timeline")
+    ) and is_chief:
         trace_dir = os.path.join(run_dir, "profile")
         jax.profiler.start_trace(trace_dir)
         trace_stop_step = int(state.step) + 5
@@ -484,6 +497,8 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
     except KeyboardInterrupt:
         logger.info("Interrupted at step %d", step)
     finally:
+        if debug_nans_prev is not None:
+            jax.config.update("jax_debug_nans", debug_nans_prev)
         if trace_dir is not None:
             try:
                 jax.profiler.stop_trace()

@@ -117,6 +117,22 @@ class TestTrain:
                  if p.name.startswith("ckpt_step_")]
         assert len(ckpts) == 1
 
+    def test_tf_debug_and_save_timeline(self, tmp_path):
+        """tf_debug → jax_debug_nans (restored after); save_timeline →
+        profiler trace dir (reference train.py:133-137,163-168)."""
+        import os
+
+        import jax
+
+        config = make_config(
+            tmp_path, no_log=True, tf_debug=True, save_timeline=True
+        )
+        assert not jax.config.jax_debug_nans
+        state = run_training(config, max_steps=2)
+        assert int(state.step) == 2
+        assert not jax.config.jax_debug_nans  # restored
+        assert os.path.isdir(str(tmp_path / "jobs" / "test" / "profile"))
+
     def test_invalid_optimizer_raises(self, tmp_path):
         config = make_config(
             tmp_path, no_log=True, optimizer={"type": "magic"}
