@@ -63,19 +63,27 @@ def draw_label(draw, coords, label, prob, color, scale=1):
 
 
 def vis_objects(image, objects, colormap=None, labels=True, scale=1,
-                fill=False):
+                fill=30):
     """Draw detected objects onto an image.
 
     Args:
         image: (H, W, 3) ndarray (uint8 or float 0-255).
         objects: list of dicts with ``bbox``, ``label`` and optional
-            ``prob`` (the ``Detector.predict`` output format).
+            ``prob`` (the ``Detector.predict`` output format), or a
+            single such dict.
+        fill: 0..255 alpha for the translucent box fill (reference
+            vis.py:138 semantics; booleans also accepted).
 
     Returns:
         PIL Image with the drawn detections.
     """
     if colormap is None:
         colormap = build_colormap()
+    if isinstance(objects, dict):
+        objects = [objects]
+    if fill is True:
+        fill = 40
+    fill_alpha = int(fill or 0)
 
     image = Image.fromarray(
         np.clip(np.asarray(image), 0, 255).astype(np.uint8)
@@ -88,9 +96,7 @@ def vis_objects(image, objects, colormap=None, labels=True, scale=1,
         label = obj.get("label", "") if isinstance(obj, dict) else ""
         prob = obj.get("prob") if isinstance(obj, dict) else None
         color = colormap(label)
-        draw_rectangle(
-            draw, bbox, color, fill_alpha=40 if fill else 0
-        )
+        draw_rectangle(draw, bbox, color, fill_alpha=fill_alpha)
         if labels:
             draw_label(draw, bbox, label, prob, color, scale=scale)
 
