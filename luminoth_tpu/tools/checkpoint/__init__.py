@@ -269,8 +269,10 @@ def apply_entries(entry, parsed):
 
 
 @checkpoint.command(help="Create a checkpoint from a configuration file.")
+@click.argument("config_args", nargs=-1)
 @click.option(
-    "config_files", "--config", "-c", required=True, multiple=True)
+    "config_files", "--config", "-c", multiple=True,
+    help="Config to use (same as the positional arguments).")
 @click.option(
     "override_params", "--override", "-o", multiple=True)
 @click.option("--entity", help="Entity that created the checkpoint.")
@@ -278,7 +280,15 @@ def apply_entries(entry, parsed):
 @click.option(
     "entries", "--entry", "-e", multiple=True,
     help="Specify checkpoint's metadata field value (field=value).")
-def create(config_files, override_params, entity, alias, entries):
+def create(config_args, config_files, override_params, entity, alias,
+           entries):
+    # The reference takes configs positionally (tools/checkpoint:415);
+    # the -c form stays supported alongside. NB: builtin ``list`` is
+    # shadowed by the click command above.
+    config_files = [*config_args, *config_files]
+    if not config_files:
+        click.echo("No config file given.")
+        return
     parsed_entries = parse_entries(entries)
     if parsed_entries is None:
         return
@@ -513,7 +523,8 @@ def convert_detector(ckpt_path, out_dir, config_files):
     )
     from luminoth_tpu.utils.config import get_config
 
-    config = get_config(list(config_files))
+    # NB: builtin ``list`` is shadowed by the click command above.
+    config = get_config([*config_files])
     n_loaded, n_total = convert_zoo_checkpoint(
         ckpt_path, os.path.join(out_dir, "ckpt"), config
     )

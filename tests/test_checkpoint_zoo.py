@@ -63,9 +63,9 @@ def test_zoo_lifecycle(zoo_env, tmp_path):
     config_path = make_fake_run(zoo_env)
     runner = CliRunner()
 
-    # create
+    # create (configs are positional, as in the reference; -c also works)
     result = runner.invoke(
-        checkpoint, ["create", "-c", config_path, "--alias", "mymodel"]
+        checkpoint, ["create", config_path, "--alias", "mymodel"]
     )
     assert result.exit_code == 0, result.output
     assert "created successfully" in result.output

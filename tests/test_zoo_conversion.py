@@ -187,3 +187,49 @@ class TestSSDZooConversion:
         ).astype(np.float32)
         results = network.predict_image(image)
         assert isinstance(results, list)
+
+
+def test_convert_detector_cli(tmp_path):
+    """The `lumi checkpoint convert-detector` surface end to end.
+
+    Regression: the module's `list` click command shadows the builtin, and
+    the CLI body once called `list(config_files)` — which *invoked the
+    list command* (printing the index table, converting nothing).
+    """
+    from click.testing import CliRunner
+
+    from luminoth_tpu.tools.checkpoint import checkpoint
+    from luminoth_tpu.utils.config import dump_config
+
+    cfg = _frcnn_config(tmp_path)
+    shapes = _our_param_shapes(cfg, (64, 64))
+    _, backbone_vals = make_slim_resnet_values(50)
+    prefix = "fasterrcnn/truncated_base_network"
+    vals = {
+        f"{prefix}/{name}": value
+        for name, value in backbone_vals.items()
+        if "logits" not in name and name != "global_step"
+    }
+    rng = np.random.RandomState(7)
+    for head in ("rpn/conv", "rpn/cls_conv", "rpn/bbox_conv",
+                 "rcnn/fc_classifier", "rcnn/fc_bbox"):
+        vals.update(_head_vals(rng, shapes, head, f"fasterrcnn/{head}"))
+    ckpt = save_slim_checkpoint(vals, str(tmp_path / "ref.ckpt"))
+
+    config_path = str(tmp_path / "config.yml")
+    with open(config_path, "w") as f:
+        f.write(dump_config(cfg))
+    out_dir = str(tmp_path / "cli_converted")
+
+    result = CliRunner().invoke(
+        checkpoint,
+        ["convert-detector", ckpt, out_dir, "-c", config_path],
+    )
+    assert result.exit_code == 0, result.output
+    assert "Converted" in result.output
+
+    from luminoth_tpu.utils.checkpoint_io import CheckpointManager
+
+    assert CheckpointManager(
+        str(tmp_path / "cli_converted" / "ckpt")
+    ).latest_step() is not None
