@@ -35,11 +35,15 @@ def _load_native():
         if not os.path.exists(so_path) or (
             os.path.getmtime(so_path) < os.path.getmtime(_C_SOURCE)
         ):
+            # Compile to a unique name + atomic rename so concurrent
+            # processes can't observe a half-written .so.
+            tmp_path = f"{so_path}.{os.getpid()}"
             subprocess.run(
-                ["cc", "-O3", "-shared", "-fPIC", _C_SOURCE, "-o", so_path],
+                ["cc", "-O3", "-shared", "-fPIC", _C_SOURCE, "-o", tmp_path],
                 check=True,
                 capture_output=True,
             )
+            os.replace(tmp_path, so_path)
         lib = ctypes.CDLL(so_path)
         lib.crc32c.restype = ctypes.c_uint32
         lib.crc32c.argtypes = [

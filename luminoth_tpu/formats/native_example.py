@@ -43,11 +43,15 @@ def _load_native():
         if not os.path.exists(so_path) or (
             os.path.getmtime(so_path) < os.path.getmtime(_C_SOURCE)
         ):
+            # Compile to a unique name + atomic rename: loader worker
+            # threads may race into the first load.
+            tmp_path = f"{so_path}.{os.getpid()}.{id(_load_native)}"
             subprocess.run(
-                ["cc", "-O3", "-shared", "-fPIC", _C_SOURCE, "-o", so_path],
+                ["cc", "-O3", "-shared", "-fPIC", _C_SOURCE, "-o", tmp_path],
                 check=True,
                 capture_output=True,
             )
+            os.replace(tmp_path, so_path)
         lib = ctypes.CDLL(so_path)
         lib.lumi_parse_od_record.restype = ctypes.c_int
         lib.lumi_parse_od_record.argtypes = [
