@@ -204,16 +204,15 @@ def evaluate_once(config, model, variables, writer=None, global_step=0,
                 return
             yield batch
 
-    # Stage batch k+1's upload while batch k's forward runs.
-    for batch, device_batch in prefetch_to_device(bounded(), None):
-        objects, labels, probs, valid, losses = jax.device_get(
-            forward(
-                variables,
-                device_batch["image"],
-                device_batch["gt_boxes"],
-                device_batch["im_shape"],
-            )
-        )
+    # Two overlaps: batch k+1's upload is staged while k's forward runs
+    # (prefetch_to_device), and k+1's forward is DISPATCHED before k's
+    # outputs are fetched — JAX dispatch is async, so the device computes
+    # k+1 while the host fetches k and accumulates its detections.
+    pending = None
+
+    def drain(pending_batch, outs):
+        nonlocal count, total_images
+        objects, labels, probs, valid, losses = jax.device_get(outs)
         batch_size = objects.shape[0]
         total_images += batch_size
         for b in range(batch_size):
@@ -221,12 +220,12 @@ def evaluate_once(config, model, variables, writer=None, global_step=0,
             output["bboxes"].append(objects[b][keep])
             output["classes"].append(labels[b][keep])
             output["scores"].append(probs[b][keep])
-            gt = batch["gt_boxes"][b]
+            gt = pending_batch["gt_boxes"][b]
             gt_keep = gt[:, 4] >= 0
             output["gt_bboxes"].append(gt[gt_keep][:, :4])
             output["gt_classes"].append(gt[gt_keep][:, 4].astype(np.int64))
             maybe_save_images(
-                batch, b, objects[b], labels[b], probs[b], keep
+                pending_batch, b, objects[b], labels[b], probs[b], keep
             )
         for name, value in losses.items():
             loss_sums[name] = loss_sums.get(name, 0.0) + float(value)
@@ -235,6 +234,19 @@ def evaluate_once(config, model, variables, writer=None, global_step=0,
             rate = total_images / (time.time() - start)
             logger.info("%d images evaluated (%.2f images/s)",
                         total_images, rate)
+
+    for batch, device_batch in prefetch_to_device(bounded(), None):
+        outs = forward(
+            variables,
+            device_batch["image"],
+            device_batch["gt_boxes"],
+            device_batch["im_shape"],
+        )
+        if pending is not None:
+            drain(*pending)
+        pending = (batch, outs)
+    if pending is not None:
+        drain(*pending)
 
     elapsed = time.time() - start
     logger.info(
