@@ -73,6 +73,24 @@ def build_launch_spec(name, zone, accelerator, version, config_path,
     return {"create": create_cmd, "train": worker_cmds}
 
 
+def build_eval_spec(name, zone, config_path, split="val", watch=True):
+    """The ssh command for an evaluation job on an existing TPU VM.
+
+    Replaces the reference's ML Engine evaluation job submission
+    (tools/cloud/gcloud.py:349-446): the evaluator runs next to the
+    training job (process 0's host) and watches its checkpoint dir.
+    """
+    eval_cmd = f"lumi eval -c {config_path} --split {split}"
+    if not watch:
+        eval_cmd += " --no-watch"
+    return {
+        "eval": [
+            "gcloud", "compute", "tpus", "tpu-vm", "ssh", name,
+            f"--zone={zone}", "--worker=0", "--command", eval_cmd,
+        ]
+    }
+
+
 @click.group(help="Train and manage jobs on Cloud TPU")
 def tpu():
     pass
@@ -113,6 +131,24 @@ def spec(name, zone, accelerator_type, runtime_version, config_path,
         num_hosts,
     )
     click.echo(json.dumps(payload, indent=2))
+
+
+@tpu.command(help="Start an evaluation job on an existing TPU VM.")
+@click.option("--name", required=True, help="TPU VM the training runs on.")
+@click.option("--zone", default="us-central1-a")
+@click.option("config_path", "--config", "-c", required=True)
+@click.option("dataset_split", "--split", default="val",
+              help="Dataset split to use.")
+@click.option("--watch/--no-watch", default=True,
+              help="Keep watching the checkpoint dir for new files.")
+@click.option("--dry-run", is_flag=True)
+def evaluate(name, zone, config_path, dataset_split, watch, dry_run):
+    spec_dict = build_eval_spec(
+        name, zone, config_path, split=dataset_split, watch=watch
+    )
+    result = _run(spec_dict["eval"], dry_run=dry_run)
+    if result is not None:
+        click.echo(result.stdout)
 
 
 @tpu.command(help="List TPU VMs.")

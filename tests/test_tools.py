@@ -24,6 +24,26 @@ class TestCloudSpec:
         assert "LUMI_NUM_PROCESSES=2" in cmd0
         assert "lumi train -c config.yml" in cmd0
 
+    def test_build_eval_spec(self):
+        from luminoth_tpu.tools.cloud.tpu import build_eval_spec
+
+        spec = build_eval_spec(
+            "myjob", "us-central1-a", "config.yml", split="test",
+            watch=False,
+        )
+        cmd = " ".join(spec["eval"])
+        assert "--worker=0" in cmd
+        assert "lumi eval -c config.yml --split test --no-watch" in cmd
+
+    def test_evaluate_command_dry_run(self):
+        from luminoth_tpu.tools.cloud.tpu import tpu
+
+        result = CliRunner().invoke(
+            tpu, ["evaluate", "--name", "j", "-c", "c.yml", "--dry-run"]
+        )
+        assert result.exit_code == 0, result.output
+        assert "lumi eval -c c.yml --split val" in result.output
+
     def test_spec_command(self):
         from luminoth_tpu.tools.cloud.tpu import tpu
 
