@@ -109,11 +109,15 @@ def area(boxes):
     return ((x2 - x1 + 1.0) * (y2 - y1 + 1.0))[..., 0]
 
 
-def iou_matrix(boxes1, boxes2):
+def iou_matrix(boxes1, boxes2, offset=1.0):
     """Pairwise IoU between two box sets.
 
     Args:
         boxes1: (..., N, 4), boxes2: (..., M, 4).
+        offset: pixel convention for widths/areas. The default 1.0 matches
+            the reference's overlap op (bbox_overlap_tf, used for every
+            target assignment); pass 0.0 for the convention of
+            ``tf.image.non_max_suppression`` (the reference's NMS — no +1).
 
     Returns:
         (..., N, M) IoU matrix, clamped at 0.
@@ -130,10 +134,11 @@ def iou_matrix(boxes1, boxes2):
     xi2 = jnp.minimum(x12, x22)
     yi2 = jnp.minimum(y12, y22)
 
-    intersection = jnp.maximum(xi2 - xi1 + 1.0, 0.0) * jnp.maximum(
-        yi2 - yi1 + 1.0, 0.0
+    intersection = jnp.maximum(xi2 - xi1 + offset, 0.0) * jnp.maximum(
+        yi2 - yi1 + offset, 0.0
     )
-    area1 = (x12 - x11 + 1.0) * (y12 - y11 + 1.0)
-    area2 = (x22 - x21 + 1.0) * (y22 - y21 + 1.0)
-    union = area1 + area2 - intersection
+    area1 = (x12 - x11 + offset) * (y12 - y11 + offset)
+    area2 = (x22 - x21 + offset) * (y22 - y21 + offset)
+    # Degenerate boxes have zero area under offset=0: guard the 0/0.
+    union = jnp.maximum(area1 + area2 - intersection, 1e-8)
     return jnp.maximum(intersection / union, 0.0)

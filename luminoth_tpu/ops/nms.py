@@ -141,13 +141,15 @@ def _alive_sorted_xla(boxes_s, valid_s, iou_threshold, block):
         tile_boxes = jax.lax.dynamic_slice(boxes_s, (start, 0), (block, 4))
         tile_alive = jax.lax.dynamic_slice(alive, (start,), (block,))
 
-        # Within-tile greedy fixpoint.
-        tile_iou = iou_matrix(tile_boxes, tile_boxes)
+        # Within-tile greedy fixpoint. NMS uses the no-+1 IoU: the
+        # reference's NMS is tf.image.non_max_suppression, whose overlap
+        # has no +1 (unlike its target-assignment bbox_overlap_tf).
+        tile_iou = iou_matrix(tile_boxes, tile_boxes, offset=0.0)
         tile_mask = (tile_iou > iou_threshold) & tri
         tile_alive = _self_suppression(tile_mask, tile_alive)
 
         # Tile survivors suppress every later candidate.
-        cross_iou = iou_matrix(tile_boxes, boxes_s)  # (block, n_padded)
+        cross_iou = iou_matrix(tile_boxes, boxes_s, offset=0.0)
         suppress = jnp.any(
             (cross_iou > iou_threshold) & tile_alive[:, None], axis=0
         )

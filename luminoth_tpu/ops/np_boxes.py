@@ -84,12 +84,31 @@ def decode(roi, deltas, variances=None):
     )
 
 
+def _nms_overlap(box, boxes):
+    """IoU of one box vs many, NO +1 convention.
+
+    ``tf.image.non_max_suppression`` — the reference's NMS — measures
+    overlap without the +1 pixel widths its target-assignment overlap op
+    uses; NMS goldens must match that convention.
+    """
+    xi1 = np.maximum(box[0], boxes[:, 0])
+    yi1 = np.maximum(box[1], boxes[:, 1])
+    xi2 = np.minimum(box[2], boxes[:, 2])
+    yi2 = np.minimum(box[3], boxes[:, 3])
+    inter = np.maximum(xi2 - xi1, 0.0) * np.maximum(yi2 - yi1, 0.0)
+    area1 = (box[2] - box[0]) * (box[3] - box[1])
+    area2 = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    union = np.maximum(area1 + area2 - inter, 1e-8)
+    return inter / union
+
+
 def nms(boxes, scores, iou_threshold):
     """Greedy NMS in numpy; returns kept indices in score order.
 
     Used as the golden reference for unit-testing the on-device static-shape
     NMS kernel (reference behavior: ``tf.image.non_max_suppression`` at
-    luminoth/models/fasterrcnn/rpn_proposal.py:152).
+    luminoth/models/fasterrcnn/rpn_proposal.py:152, cross-checked against
+    TF itself in tests/test_nms_vs_tf.py).
     """
     boxes = np.asarray(boxes, dtype=np.float64)
     scores = np.asarray(scores, dtype=np.float64)
@@ -100,7 +119,7 @@ def nms(boxes, scores, iou_threshold):
         if suppressed[idx]:
             continue
         keep.append(idx)
-        ious = bbox_overlap(boxes[idx : idx + 1], boxes)[0]
+        ious = _nms_overlap(boxes[idx], boxes)
         suppressed |= ious > iou_threshold
         suppressed[idx] = True
     return np.asarray(keep, dtype=np.int64)

@@ -29,17 +29,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pair_iou(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
-    """IoU between (T, 1) tile coords and (1, C) chunk coords → (T, C)."""
+    """IoU between (T, 1) tile coords and (1, C) chunk coords → (T, C).
+
+    No-+1 convention: matches ``tf.image.non_max_suppression`` (the
+    reference's NMS), not the +1 overlap its target assignment uses.
+    """
     xi1 = jnp.maximum(ax1, bx1)
     yi1 = jnp.maximum(ay1, by1)
     xi2 = jnp.minimum(ax2, bx2)
     yi2 = jnp.minimum(ay2, by2)
-    inter = jnp.maximum(xi2 - xi1 + 1.0, 0.0) * jnp.maximum(
-        yi2 - yi1 + 1.0, 0.0
-    )
-    area_a = (ax2 - ax1 + 1.0) * (ay2 - ay1 + 1.0)
-    area_b = (bx2 - bx1 + 1.0) * (by2 - by1 + 1.0)
-    return inter / (area_a + area_b - inter)
+    inter = jnp.maximum(xi2 - xi1, 0.0) * jnp.maximum(yi2 - yi1, 0.0)
+    area_a = (ax2 - ax1) * (ay2 - ay1)
+    area_b = (bx2 - bx1) * (by2 - by1)
+    # Degenerate (e.g. padding) boxes have zero area: guard the 0/0.
+    return inter / jnp.maximum(area_a + area_b - inter, 1e-8)
 
 
 def _nms_kernel(boxes_ref, valid_ref, out_ref, alive_ref, *, tile, n,
