@@ -5,6 +5,7 @@ TF ``crop_and_resize`` sampling semantics verified numerically.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from luminoth_tpu.ops.roi_align import crop_and_resize, roi_crop_pool
@@ -102,3 +103,54 @@ class TestRoiCropPool:
         )
         win = unpooled[0].reshape(7, 2, 7, 2, 8).max(axis=(1, 3))
         np.testing.assert_allclose(out[0], win, atol=1e-6)
+
+
+class TestAgainstTF:
+    """Direct cross-check vs tf.image.crop_and_resize — the exact op the
+    reference calls for ROI pooling (roi_pool.py:75)."""
+
+    def test_crop_matches_tf(self, rng):
+        tf = pytest.importorskip("tensorflow")
+        fm = rng.randn(23, 31, 5).astype(np.float32)
+        # Mix of in-bounds, degenerate, and out-of-bounds boxes.
+        y1 = rng.uniform(-0.2, 0.9, 40)
+        x1 = rng.uniform(-0.2, 0.9, 40)
+        boxes = np.stack(
+            [y1, x1, y1 + rng.uniform(0.0, 0.5, 40),
+             x1 + rng.uniform(0.0, 0.5, 40)], axis=1
+        ).astype(np.float32)
+        got = np.asarray(
+            crop_and_resize(jnp.asarray(fm), jnp.asarray(boxes), 14)
+        )
+        want = tf.image.crop_and_resize(
+            fm[None], boxes, np.zeros(len(boxes), np.int32), [14, 14]
+        ).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    def test_roi_crop_pool_matches_tf_chain(self, rng):
+        """Full reference chain: normalize by im_shape → crop 14×14 →
+        2×2/2 max-pool (roi_pool.py:37-95)."""
+        tf = pytest.importorskip("tensorflow")
+        fm = rng.randn(38, 50, 4).astype(np.float32)
+        im_shape = (608.0, 800.0)
+        x1 = rng.uniform(0, 700, 24)
+        y1 = rng.uniform(0, 500, 24)
+        rois = np.stack(
+            [x1, y1, x1 + rng.uniform(10, 100, 24),
+             y1 + rng.uniform(10, 100, 24)], axis=1
+        ).astype(np.float32)
+
+        got = np.asarray(roi_crop_pool(
+            jnp.asarray(fm), jnp.asarray(rois), im_shape, crop_size=14
+        ))
+
+        norm = np.stack(
+            [rois[:, 1] / im_shape[0], rois[:, 0] / im_shape[1],
+             rois[:, 3] / im_shape[0], rois[:, 2] / im_shape[1]], axis=1
+        )
+        crops = tf.image.crop_and_resize(
+            fm[None], norm, np.zeros(len(rois), np.int32), [14, 14]
+        )
+        want = tf.nn.max_pool2d(crops, ksize=2, strides=2,
+                                padding="VALID").numpy()
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
