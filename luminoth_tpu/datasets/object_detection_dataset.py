@@ -106,9 +106,13 @@ def preprocess_image(config, image, bboxes=None, rng=None, augment=False):
             config.dataset.get("data_augmentation"), image, bboxes, rng
         )
 
+    # "tf1" selects the reference's TF1 legacy resize grid (for
+    # reference-checkpoint parity evals); default is cv2/TF2 bilinear.
+    method = prep.get("resize_method")
     if prep.get("fixed_height"):
         result = resize_image_fixed(
-            image, prep.fixed_height, prep.fixed_width, bboxes=bboxes
+            image, prep.fixed_height, prep.fixed_width, bboxes=bboxes,
+            method=method,
         )
     else:
         result = resize_image(
@@ -116,6 +120,7 @@ def preprocess_image(config, image, bboxes=None, rng=None, augment=False):
             bboxes=bboxes,
             min_size=prep.get("min_size"),
             max_size=prep.get("max_size"),
+            method=method,
         )
     return result
 

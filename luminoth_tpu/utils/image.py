@@ -38,7 +38,42 @@ def settle_transfer_dtype(image, transfer_dtype):
     return image
 
 
-def _resize(image, new_height, new_width):
+def _resize_tf1(image, new_height, new_width):
+    """Bilinear resize on the TF1 legacy grid (src = dst_idx · scale).
+
+    The reference ran under TF 1.x, whose ``tf.image.resize_images``
+    defaulted to ``align_corners=False, half_pixel_centers=False`` — the
+    legacy sampling grid, shifted ~half a pixel from the modern
+    (cv2 / TF2) half-pixel-centers grid. Matches
+    ``tf.compat.v1.image.resize_bilinear`` to float noise
+    (tests/test_image_ops.py); used via
+    ``dataset.image_preprocessing.resize_method: tf1`` for
+    reference-checkpoint parity evaluations.
+    """
+    img = np.asarray(image)
+    dtype = img.dtype
+    img = img.astype(np.float32)
+    h, w = img.shape[:2]
+    new_height, new_width = int(new_height), int(new_width)
+    ys = np.arange(new_height) * (h / new_height)
+    xs = np.arange(new_width) * (w / new_width)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+    bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    if dtype == np.uint8:
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out.astype(dtype)
+
+
+def _resize(image, new_height, new_width, method=None):
+    if method == "tf1":
+        return _resize_tf1(image, new_height, new_width)
     new_height, new_width = int(new_height), int(new_width)
     if cv2 is not None:
         # dtype-preserving: cv2's uint8 bilinear path is ~2x the float one.
@@ -71,7 +106,8 @@ def adjust_bboxes(bboxes, old_height, old_width, new_height, new_width):
     return out
 
 
-def resize_image(image, bboxes=None, min_size=None, max_size=None):
+def resize_image(image, bboxes=None, min_size=None, max_size=None,
+                 method=None):
     """Min/max-side resize returning a scale factor (FRCNN preprocessing)."""
     image = np.asarray(image)
     height, width = float(image.shape[0]), float(image.shape[1])
@@ -92,7 +128,7 @@ def resize_image(image, bboxes=None, min_size=None, max_size=None):
 
     new_height = height * scale_factor
     new_width = width * scale_factor
-    image = _resize(image, new_height, new_width)
+    image = _resize(image, new_height, new_width, method=method)
 
     result = {"image": image, "scale_factor": scale_factor}
     if bboxes is not None:
@@ -102,11 +138,12 @@ def resize_image(image, bboxes=None, min_size=None, max_size=None):
     return result
 
 
-def resize_image_fixed(image, new_height, new_width, bboxes=None):
+def resize_image_fixed(image, new_height, new_width, bboxes=None,
+                       method=None):
     """Fixed-size resize (SSD preprocessing)."""
     image = np.asarray(image)
     height, width = float(image.shape[0]), float(image.shape[1])
-    out = _resize(image, new_height, new_width)
+    out = _resize(image, new_height, new_width, method=method)
     result = {
         "image": out,
         "scale_factor": (new_height / height, new_width / width),

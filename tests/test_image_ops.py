@@ -1,6 +1,7 @@
 """Image resize + augmentation op tests (mirrors reference image_test.py)."""
 
 import numpy as np
+import pytest
 
 from luminoth_tpu.utils.image import (
     adjust_bboxes,
@@ -162,3 +163,44 @@ class TestApplyAugmentation:
         out = adjust_bboxes(BOXES, 40, 60, 80, 120)
         np.testing.assert_allclose(out[:, 4], BOXES[:, 4])
         np.testing.assert_allclose(out[0, :4], [20, 10, 60, 50])
+
+
+class TestTF1ResizeCompat:
+    """resize_method: tf1 reproduces the reference's TF1 legacy grid."""
+
+    def test_matches_tf1_resize_bilinear(self):
+        tf = pytest.importorskip("tensorflow")
+
+        from luminoth_tpu.utils.image import _resize_tf1
+
+        rng = np.random.RandomState(0)
+        for (h, w, nh, nw) in ((37, 53, 600, 800), (300, 300, 120, 90),
+                               (48, 64, 48, 64)):
+            img = rng.rand(h, w, 3).astype(np.float32) * 255.0
+            got = _resize_tf1(img, nh, nw)
+            want = tf.compat.v1.image.resize_bilinear(
+                img[None], (nh, nw), align_corners=False,
+                half_pixel_centers=False,
+            ).numpy()[0]
+            # Accumulation-order noise only: 0.05 of 255 intensity. A
+            # grid misalignment would show up as O(pixel-delta) errors.
+            np.testing.assert_allclose(got, want, atol=5e-2, rtol=1e-3)
+
+    def test_config_plumbing(self):
+        from luminoth_tpu.datasets.object_detection_dataset import (
+            preprocess_image,
+        )
+        from luminoth_tpu.utils.config import Config
+        from luminoth_tpu.utils.image import _resize_tf1
+
+        rng = np.random.RandomState(1)
+        img = rng.rand(40, 60, 3).astype(np.float32) * 255.0
+        cfg = Config({
+            "dataset": {"image_preprocessing": {
+                "min_size": 80, "max_size": 120, "resize_method": "tf1",
+            }},
+        })
+        out = preprocess_image(cfg, img)["image"]
+        np.testing.assert_allclose(
+            out, _resize_tf1(img, out.shape[0], out.shape[1])
+        )
