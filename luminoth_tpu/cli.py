@@ -6,7 +6,13 @@ from luminoth_tpu.train import train
 from luminoth_tpu.predict import predict
 
 
-@click.group(help="Luminoth-TPU: TPU-native computer vision toolkit")
+CONTEXT_SETTINGS = {"help_option_names": ["-h", "--help"]}
+
+
+@click.group(
+    context_settings=CONTEXT_SETTINGS,
+    help="Luminoth-TPU: TPU-native computer vision toolkit",
+)
 def cli():
     pass
 
