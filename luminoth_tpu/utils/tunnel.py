@@ -29,6 +29,18 @@ def warm_transfer_path_async():
             return None
         _started = True
 
+    # Initialize the JAX backend HERE, on the calling thread, before the
+    # fetch thread starts. If the daemon thread wins the backend-init
+    # race instead, PJRT client creation can hang when driven from a
+    # secondary thread (observed with tunneled-TPU plugins), and every
+    # other thread then deadlocks on the backend lock behind it.
+    try:
+        import jax
+
+        jax.devices()
+    except Exception:  # pragma: no cover - backend issues surface later
+        pass
+
     def _fetch():
         try:
             import jax
