@@ -145,6 +145,15 @@ def run_server(config, class_labels=None, host="127.0.0.1", port=5000,
                block=True):
     """Start the demo server; returns the server object."""
     global NETWORK_START_THREAD
+    # Initialize the JAX backend on the main thread before the loader
+    # thread touches it: PJRT client creation can hang when first driven
+    # from a secondary thread (see utils/tunnel.py).
+    try:
+        import jax
+
+        jax.devices()
+    except Exception:  # pragma: no cover - surfaces in start_network
+        pass
     NETWORK_START_THREAD = threading.Thread(
         target=start_network, args=(config, class_labels), daemon=True
     )
