@@ -14,6 +14,15 @@ from luminoth_tpu.utils.config import to_plain
 from luminoth_tpu.utils.homedir import get_home
 
 
+def _toolkit_version():
+    try:
+        from luminoth_tpu.version import __version__
+
+        return __version__
+    except ImportError:  # pragma: no cover
+        return None
+
+
 def get_diff():
     try:
         return subprocess.check_output(
@@ -39,6 +48,7 @@ def save_run(config, environment=None, comment=None, extra_config=None,
         "diff": diff,
         "versions": {
             "jax": jax.__version__,
+            "luminoth_tpu": _toolkit_version(),
         },
     }
     path = os.path.join(get_home(), filename)
