@@ -208,7 +208,7 @@ class ObjectDetectionDataset:
 
     def __init__(self, config, shuffle=None, num_epochs=None,
                  augment=True, prefetch_batches=4, seed=None,
-                 num_workers=None):
+                 num_workers=None, pad_final_batch=False):
         self._config = config
         self._dataset_config = config.dataset
         self._batch_size = int(config.train.get("batch_size", 1))
@@ -221,6 +221,7 @@ class ObjectDetectionDataset:
         self._num_epochs = num_epochs
         self._max_gt = int(config.dataset.get("max_gt_boxes", 64))
         self._prefetch = prefetch_batches
+        self._pad_final = bool(pad_final_batch)
         self._seed = seed if seed is not None else config.train.get("seed")
         if num_workers is None:
             num_workers = int(config.dataset.get("num_workers", 4))
@@ -394,9 +395,24 @@ class ObjectDetectionDataset:
             batch = pending.setdefault(bucket, [])
             batch.append(example)
             if len(batch) == self._batch_size:
-                yield self._make_batch(batch)
+                out = self._make_batch(batch)
+                out["pad_count"] = 0
+                yield out
                 pending[bucket] = []
-        # Drop remainders (static batch shapes only).
+        if self._pad_final:
+            # Evaluation must cover every image (the reference streams
+            # all of them): fill each bucket's leftover batch by
+            # repeating its last example and mark how many rows are
+            # padding so consumers can skip them.
+            for batch in pending.values():
+                if not batch:
+                    continue
+                real = len(batch)
+                batch = batch + [batch[-1]] * (self._batch_size - real)
+                out = self._make_batch(batch)
+                out["pad_count"] = self._batch_size - real
+                yield out
+        # else: drop remainders (static batch shapes only).
 
     def __iter__(self):
         """Iterate batches with background prefetching."""

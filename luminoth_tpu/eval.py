@@ -160,7 +160,8 @@ def evaluate_once(config, model, variables, writer=None, global_step=0,
     """
     num_classes = int(config.model.network.num_classes)
     dataset = get_dataset(config.dataset.type)(
-        config, shuffle=False, num_epochs=1, augment=False
+        config, shuffle=False, num_epochs=1, augment=False,
+        pad_final_batch=True,
     )
     if forward is None:
         forward = _build_forward(model)
@@ -213,7 +214,11 @@ def evaluate_once(config, model, variables, writer=None, global_step=0,
     def drain(pending_batch, outs):
         nonlocal count, total_images
         objects, labels, probs, valid, losses = jax.device_get(outs)
-        batch_size = objects.shape[0]
+        # Final partial batches arrive padded (repeated rows at the
+        # tail); skip them so every real image counts exactly once.
+        batch_size = objects.shape[0] - int(
+            pending_batch.get("pad_count", 0)
+        )
         total_images += batch_size
         for b in range(batch_size):
             keep = valid[b].astype(bool)
@@ -265,6 +270,7 @@ def evaluate_once(config, model, variables, writer=None, global_step=0,
         "AP@0.75": map_0_75,
         "AP@[0.5:0.95]": map_all,
         "AR@[0.5:0.95]": mar_all,
+        "images": total_images,
         "images_per_second": total_images / max(elapsed, 1e-6),
     }
     for name, total in loss_sums.items():

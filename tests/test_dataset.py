@@ -197,3 +197,28 @@ class TestUint8Transfer:
         cfg.dataset.transfer_dtype = "float16"
         with pytest.raises(ValueError):
             ObjectDetectionDataset(cfg)
+
+
+def test_pad_final_batch_covers_every_example(tmp_path):
+    """Evaluation-mode datasets pad the leftover batch instead of
+    dropping it (the reference's evaluator streams every image)."""
+    data_dir = write_split(tmp_path, n=7)
+    config = ssd_like_config(data_dir, batch_size=3)
+
+    plain = ObjectDetectionDataset(config, augment=False, shuffle=False)
+    plain_batches = [b for b in plain]
+    assert len(plain_batches) == 2  # 7 // 3, remainder dropped
+    assert all(b["pad_count"] == 0 for b in plain_batches)
+
+    padded = ObjectDetectionDataset(
+        config, augment=False, shuffle=False, pad_final_batch=True
+    )
+    batches = [b for b in padded]
+    assert len(batches) == 3
+    assert [b["pad_count"] for b in batches] == [0, 0, 2]
+    last = batches[-1]
+    assert last["image"].shape[0] == 3  # static batch shape kept
+    # Padding rows repeat the last real example.
+    np.testing.assert_array_equal(last["image"][1], last["image"][2])
+    total_real = sum(b["image"].shape[0] - b["pad_count"] for b in batches)
+    assert total_real == 7

@@ -99,3 +99,31 @@ class TestCalculateMetrics:
         # Recall 0.5 with precision 1.0 up to that point, then FP.
         assert 0.4 < ap[0, 0] <= 0.51
         np.testing.assert_allclose(ar[0], 0.5)
+
+
+def test_evaluate_once_covers_all_images(tmp_path):
+    """7 images at batch 3: the evaluator pads the final batch and skips
+    the padded rows — every image evaluated exactly once (the plain
+    dataset would drop the remainder)."""
+    import jax.numpy as jnp
+
+    from luminoth_tpu.eval import evaluate_once
+    from test_dataset import ssd_like_config, write_split
+
+    data_dir = write_split(tmp_path, n=7)
+    config = ssd_like_config(data_dir, batch_size=3)
+    config.model = type(config)({"network": {"num_classes": 3}})
+
+    def fake_forward(variables, image, gt_boxes, im_shape):
+        b = image.shape[0]
+        g = gt_boxes.shape[1]
+        objects = gt_boxes[:, :, :4]
+        labels = gt_boxes[:, :, 4].astype(jnp.int32)
+        valid = gt_boxes[:, :, 4] >= 0
+        probs = jnp.where(valid, 1.0, 0.0)
+        del b, g
+        return objects, labels, probs, valid, {"total_loss": jnp.asarray(0.0)}
+
+    metrics = evaluate_once(config, None, None, forward=fake_forward)
+    assert metrics["images"] == 7
+    np.testing.assert_allclose(metrics["AP@0.5"], 1.0, atol=1e-9)
