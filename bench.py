@@ -587,7 +587,39 @@ def _tunnel_sync():
     return time.time() - t0
 
 
+def _probe_device(timeout_s=420):
+    """Bounded device-availability probe in a subprocess.
+
+    PJRT client creation can hang indefinitely on a wedged remote
+    attachment (a killed client's session lingers server-side); probing
+    in a throwaway subprocess turns that into a clean, diagnosable
+    failure instead of a silent hang of the whole benchmark.
+    """
+    import subprocess
+
+    try:
+        result = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert len(jax.devices()) >= 1"],
+            capture_output=True, timeout=timeout_s,
+        )
+        return result.returncode == 0, result.stderr.decode()[-500:]
+    except subprocess.TimeoutExpired:
+        return False, f"device probe timed out after {timeout_s}s"
+
+
 def main():
+    ok, why = _probe_device()
+    if not ok:
+        print(json.dumps({
+            "metric": "fasterrcnn_r101_coco_inference_throughput",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "detail": {"error": f"accelerator unavailable: {why}"},
+        }))
+        sys.exit(1)
+
     import jax
 
     from luminoth_tpu.utils.compilation_cache import enable_persistent_cache
