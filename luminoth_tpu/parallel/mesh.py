@@ -22,19 +22,43 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
-def make_mesh(num_devices=None, devices=None):
-    """Build a 1-D data-parallel mesh over the available devices."""
+def make_mesh(num_devices=None, devices=None, space=1):
+    """Build the device mesh.
+
+    ``space=1`` (default): a 1-D data-parallel mesh. ``space=N``: a 2-D
+    ``(data, space)`` mesh — images are additionally sharded along their
+    height axis, so each example's convolutions split across ``N`` chips
+    (XLA GSPMD inserts the halo exchanges). Use for canvases too large
+    for one chip's HBM, or when the global batch is smaller than the
+    chip count; there is no reference counterpart (batch-1 TF1).
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    space = int(space or 1)
+    if space == 1:
+        return Mesh(np.asarray(devices), (DATA_AXIS,))
+    if len(devices) % space:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by space={space}"
+        )
+    grid = np.asarray(devices).reshape(len(devices) // space, space)
+    return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
 
 
-def batch_sharding(mesh):
-    """Sharding for arrays whose leading axis is the batch."""
+def batch_sharding(mesh, ndim=None):
+    """Sharding for batch-leading arrays.
+
+    On a 2-D mesh, image-like arrays (``ndim >= 4``: B, H, W, C) also
+    shard H over the space axis; lower-rank arrays (gt boxes, shapes)
+    shard only the batch axis.
+    """
+    if SPACE_AXIS in mesh.axis_names and (ndim is None or ndim >= 4):
+        return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
@@ -45,9 +69,11 @@ def replicate_sharding(mesh):
 
 def shard_batch(batch, mesh):
     """Device-put a pytree of host arrays with the batch axis sharded."""
-    sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
+        lambda x: jax.device_put(
+            x, batch_sharding(mesh, ndim=np.ndim(x))
+        ),
+        batch,
     )
 
 

@@ -196,8 +196,13 @@ def make_train_step(model, tx, mesh=None, train_batch_norm=False,
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
 
+    from luminoth_tpu.parallel.mesh import SPACE_AXIS
+
     repl = replicate_sharding(mesh)
-    data = batch_sharding(mesh)
+    # On a 2-D (data, space) mesh the batch dict's leaves carry
+    # different specs (images also shard H) — the arrays arrive
+    # committed by _device_batch, so let jit infer their shardings.
+    data = None if SPACE_AXIS in mesh.axis_names else batch_sharding(mesh)
     return jax.jit(
         train_step,
         in_shardings=(repl, data, repl),
@@ -210,8 +215,10 @@ def _device_batch(batch, mesh):
     keep = {"image", "gt_boxes", "im_shape"}
     out = {k: v for k, v in batch.items() if k in keep}
     if mesh is not None:
-        sharding = batch_sharding(mesh)
-        return {k: jax.device_put(v, sharding) for k, v in out.items()}
+        return {
+            k: jax.device_put(v, batch_sharding(mesh, ndim=np.ndim(v)))
+            for k, v in out.items()
+        }
     # Explicit device_put (instead of letting jit transfer at call time)
     # so prefetch_to_device can issue batch k+1's upload while step k is
     # still executing.
@@ -269,15 +276,33 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
     first_batch = next(batch_iter)
     batch_size = first_batch["image"].shape[0]
 
-    # Mesh: shard the batch over as many devices as divide it.
+    # Mesh: shard the batch over as many devices as divide it. With
+    # train.spatial_shards: N, each example's image height additionally
+    # splits across N chips (2-D data x space mesh) — for canvases too
+    # large for one chip or batches smaller than the chip count.
     devices = jax.devices()
+    space = int(train_cfg.get("spatial_shards") or 1)
     n_dev = len(devices)
-    while batch_size % n_dev:
-        n_dev -= 1
-    mesh = make_mesh(num_devices=n_dev) if n_dev > 1 else None
-    logger.info(
-        "Training on %d device(s), batch %d", n_dev, batch_size
-    )
+    if space > 1:
+        data_par = n_dev // space
+        while data_par > 1 and batch_size % data_par:
+            data_par -= 1
+        n_dev = data_par * space
+        mesh = (
+            make_mesh(num_devices=n_dev, space=space)
+            if n_dev > 1 else None
+        )
+        logger.info(
+            "Training on %d device(s) (%d data x %d space), batch %d",
+            n_dev, max(data_par, 1), space, batch_size,
+        )
+    else:
+        while batch_size % n_dev:
+            n_dev -= 1
+        mesh = make_mesh(num_devices=n_dev) if n_dev > 1 else None
+        logger.info(
+            "Training on %d device(s), batch %d", n_dev, batch_size
+        )
 
     rng = jax.random.PRNGKey(train_cfg.get("seed") or 0)
     batch_spec = {
