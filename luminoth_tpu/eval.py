@@ -232,8 +232,14 @@ def evaluate_once(config, model, variables, writer=None, global_step=0,
             maybe_save_images(
                 pending_batch, b, objects[b], labels[b], probs[b], keep
             )
+        # Weight each batch's mean loss by its REAL image count so a
+        # padded final batch (whose mean over-represents the repeated
+        # last image) doesn't count like a full batch; exact when the
+        # final batch holds a single real image.
         for name, value in losses.items():
-            loss_sums[name] = loss_sums.get(name, 0.0) + float(value)
+            loss_sums[name] = (
+                loss_sums.get(name, 0.0) + float(value) * batch_size
+            )
         count += 1
         if count % 10 == 0:
             rate = total_images / (time.time() - start)
@@ -274,7 +280,7 @@ def evaluate_once(config, model, variables, writer=None, global_step=0,
         "images_per_second": total_images / max(elapsed, 1e-6),
     }
     for name, total in loss_sums.items():
-        metrics[f"losses/{name}"] = total / max(count, 1)
+        metrics[f"losses/{name}"] = total / max(total_images, 1)
 
     if writer is not None:
         for name, value in metrics.items():

@@ -8,11 +8,13 @@ masking scheme matches TensorFlow's record writer:
 
 import ctypes
 import os
-import subprocess
-import tempfile
+import threading
+
+from luminoth_tpu.formats.native_loader import load_native_lib
 
 _NATIVE = None
 _TRIED_NATIVE = False
+_LOAD_LOCK = threading.Lock()
 
 _C_SOURCE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -21,39 +23,21 @@ _C_SOURCE = os.path.join(
 )
 
 
+def _configure(lib):
+    lib.crc32c.restype = ctypes.c_uint32
+    lib.crc32c.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.c_uint32,
+    ]
+
+
 def _load_native():
     global _NATIVE, _TRIED_NATIVE
-    if _TRIED_NATIVE:
-        return _NATIVE
-    _TRIED_NATIVE = True
-    try:
-        cache_dir = os.path.join(
-            tempfile.gettempdir(), "luminoth_tpu_native"
-        )
-        os.makedirs(cache_dir, exist_ok=True)
-        so_path = os.path.join(cache_dir, "crc32c.so")
-        if not os.path.exists(so_path) or (
-            os.path.getmtime(so_path) < os.path.getmtime(_C_SOURCE)
-        ):
-            # Compile to a unique name + atomic rename so concurrent
-            # processes can't observe a half-written .so.
-            tmp_path = f"{so_path}.{os.getpid()}"
-            subprocess.run(
-                ["cc", "-O3", "-shared", "-fPIC", _C_SOURCE, "-o", tmp_path],
-                check=True,
-                capture_output=True,
-            )
-            os.replace(tmp_path, so_path)
-        lib = ctypes.CDLL(so_path)
-        lib.crc32c.restype = ctypes.c_uint32
-        lib.crc32c.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_size_t,
-            ctypes.c_uint32,
-        ]
-        _NATIVE = lib
-    except Exception:
-        _NATIVE = None
+    with _LOAD_LOCK:
+        if not _TRIED_NATIVE:
+            _NATIVE = load_native_lib("crc32c.so", _C_SOURCE, _configure)
+            _TRIED_NATIVE = True
     return _NATIVE
 
 

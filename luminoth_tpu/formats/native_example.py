@@ -14,13 +14,15 @@ against each other.
 
 import ctypes
 import os
-import subprocess
-import tempfile
+import threading
 
 import numpy as np
 
+from luminoth_tpu.formats.native_loader import load_native_lib
+
 _NATIVE = None
 _TRIED_NATIVE = False
+_LOAD_LOCK = threading.Lock()
 
 _C_SOURCE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -29,47 +31,31 @@ _C_SOURCE = os.path.join(
 )
 
 
+def _configure(lib):
+    lib.lumi_parse_od_record.restype = ctypes.c_int
+    lib.lumi_parse_od_record.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,          # buf, len
+        ctypes.POINTER(ctypes.c_size_t),           # image_off
+        ctypes.POINTER(ctypes.c_size_t),           # image_len
+        ctypes.POINTER(ctypes.c_size_t),           # fname_off
+        ctypes.POINTER(ctypes.c_size_t),           # fname_len
+        ctypes.POINTER(ctypes.c_int64),            # width
+        ctypes.POINTER(ctypes.c_int64),            # height
+        ctypes.POINTER(ctypes.c_int64),            # depth
+        ctypes.POINTER(ctypes.c_float),            # boxes
+        ctypes.c_int,                              # max_boxes
+        ctypes.POINTER(ctypes.c_int),              # num_boxes
+    ]
+
+
 def _load_native():
     global _NATIVE, _TRIED_NATIVE
-    if _TRIED_NATIVE:
-        return _NATIVE
-    _TRIED_NATIVE = True
-    try:
-        cache_dir = os.path.join(
-            tempfile.gettempdir(), "luminoth_tpu_native"
-        )
-        os.makedirs(cache_dir, exist_ok=True)
-        so_path = os.path.join(cache_dir, "example_parse.so")
-        if not os.path.exists(so_path) or (
-            os.path.getmtime(so_path) < os.path.getmtime(_C_SOURCE)
-        ):
-            # Compile to a unique name + atomic rename: loader worker
-            # threads may race into the first load.
-            tmp_path = f"{so_path}.{os.getpid()}.{id(_load_native)}"
-            subprocess.run(
-                ["cc", "-O3", "-shared", "-fPIC", _C_SOURCE, "-o", tmp_path],
-                check=True,
-                capture_output=True,
+    with _LOAD_LOCK:
+        if not _TRIED_NATIVE:
+            _NATIVE = load_native_lib(
+                "example_parse.so", _C_SOURCE, _configure
             )
-            os.replace(tmp_path, so_path)
-        lib = ctypes.CDLL(so_path)
-        lib.lumi_parse_od_record.restype = ctypes.c_int
-        lib.lumi_parse_od_record.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t,          # buf, len
-            ctypes.POINTER(ctypes.c_size_t),           # image_off
-            ctypes.POINTER(ctypes.c_size_t),           # image_len
-            ctypes.POINTER(ctypes.c_size_t),           # fname_off
-            ctypes.POINTER(ctypes.c_size_t),           # fname_len
-            ctypes.POINTER(ctypes.c_int64),            # width
-            ctypes.POINTER(ctypes.c_int64),            # height
-            ctypes.POINTER(ctypes.c_int64),            # depth
-            ctypes.POINTER(ctypes.c_float),            # boxes
-            ctypes.c_int,                              # max_boxes
-            ctypes.POINTER(ctypes.c_int),              # num_boxes
-        ]
-        _NATIVE = lib
-    except Exception:
-        _NATIVE = None
+            _TRIED_NATIVE = True
     return _NATIVE
 
 

@@ -180,20 +180,27 @@ static int span_eq(cursor s, const char *lit) {
 }
 
 /* Walk one FeatureList, writing up to `cap` first-values into
- * `vals[0], vals[stride], ...` and counting every step into `*count`. */
+ * `vals[0], vals[stride], ...` and counting every step into `*count`.
+ * `*first_empty` receives the index of the first step whose Feature has
+ * no value (python's `lists[key][i][0]` raises IndexError there), or -1;
+ * only steps below `cap` are inspected — the caller retries with a
+ * bigger buffer when `*count > cap`, so every indexed step gets checked
+ * eventually. */
 static int read_feature_list(cursor flist, float *vals, int stride,
-                             int cap, int *count) {
+                             int cap, int *count, int *first_empty) {
     uint32_t field, wire;
     uint64_t varint;
     cursor span;
     int rc;
     *count = 0;
+    *first_empty = -1;
     while ((rc = next_field(&flist, &field, &wire, &varint, &span)) == 1) {
         if (field != 1 || wire != 2) continue;
         if (*count < cap) {
             double v = 0.0;
             int found = 0;
             if ((rc = feature_first_number(span, &v, &found)) < 0) return rc;
+            if (!found && *first_empty < 0) *first_empty = *count;
             vals[(size_t)*count * stride] = found ? (float)v : 0.0f;
         }
         (*count)++;
@@ -290,6 +297,7 @@ int lumi_parse_od_record(
     static const char *kNames[5] = {"xmin", "ymin", "xmax", "ymax", "label"};
     int counts[5] = {0, 0, 0, 0, 0};
     int seen[5] = {0, 0, 0, 0, 0};
+    int empties[5] = {-1, -1, -1, -1, -1};
 
     if (lists.p) {
         cursor c = lists;
@@ -308,12 +316,14 @@ int lumi_parse_od_record(
             if (!key.p || !flist.p) continue;
             for (int col = 0; col < 5; col++) {
                 if (!span_eq(key, kNames[col])) continue;
-                int count = 0;
+                int count = 0, first_empty = -1;
                 if ((rc = read_feature_list(flist, boxes + col, 5,
-                                            max_boxes, &count)) < 0)
+                                            max_boxes, &count,
+                                            &first_empty)) < 0)
                     return rc;
                 counts[col] = count;
                 seen[col] = 1;
+                empties[col] = first_empty;
                 break;
             }
         }
@@ -323,9 +333,14 @@ int lumi_parse_od_record(
     int num = seen[4] ? counts[4] : 0; /* len(lists["label"]) */
     *num_boxes = num;
     if (num > 0) {
-        for (int col = 0; col < 4; col++) {
-            /* python: lists["xmin"][i][0] -> IndexError if shorter */
+        for (int col = 0; col < 5; col++) {
+            /* python: lists["xmin"][i][0] -> IndexError if shorter, and
+             * also when the i-th Feature's value list is empty. Empty
+             * Features at i >= num are never indexed there, so they are
+             * not an error here either. */
             if (!seen[col] || counts[col] < num) return LUMI_EBOXLISTS;
+            if (empties[col] >= 0 && empties[col] < num)
+                return LUMI_EBOXLISTS;
         }
     }
     return LUMI_OK;

@@ -44,6 +44,21 @@ def _run(cmd, dry_run=False):
         raise click.ClickException(e.stderr or str(e))
 
 
+def _detached(command, log_name):
+    """Wrap a remote command so the ssh returns immediately.
+
+    ``lumi train``/``lumi eval --watch`` run for the life of the job; a
+    blocking ssh would hang the submitter (and for multi-host training,
+    worker 1's launch would wait on worker 0's whole run). The job runs
+    under ``nohup`` with its output in ``~/<log_name>`` — tail it with
+    ``lumi cloud tpu logs``.
+    """
+    return (
+        f"nohup sh -c {shlex.quote(command)} >> $HOME/{log_name} 2>&1 "
+        f'< /dev/null & echo "launched pid $! -- log: ~/{log_name}"'
+    )
+
+
 def build_launch_spec(name, zone, accelerator, version, config_path,
                       num_hosts, coordinator_port=8476):
     """The per-host launch commands for a distributed training job."""
@@ -67,26 +82,39 @@ def build_launch_spec(name, zone, accelerator, version, config_path,
             [
                 "gcloud", "compute", "tpus", "tpu-vm", "ssh", name,
                 f"--zone={zone}", f"--worker={process_id}", "--command",
-                f"{env} lumi train -c {config_path}",
+                _detached(
+                    f"{env} lumi train -c {config_path}",
+                    f"lumi-train-w{process_id}.log",
+                ),
             ]
         )
     return {"create": create_cmd, "train": worker_cmds}
 
 
-def build_eval_spec(name, zone, config_path, split="val", watch=True):
+def build_eval_spec(name, zone, config_path, split="val", watch=True,
+                    platform="cpu"):
     """The ssh command for an evaluation job on an existing TPU VM.
 
     Replaces the reference's ML Engine evaluation job submission
     (tools/cloud/gcloud.py:349-446): the evaluator runs next to the
     training job (process 0's host) and watches its checkpoint dir.
+
+    ``platform`` defaults to ``cpu``: libtpu is single-process, so an
+    evaluator sharing the host with a live training job cannot acquire
+    the TPU — it evaluates on the host CPUs instead (the reference's
+    evaluator likewise ran on separate non-accelerated workers). Pass
+    ``tpu`` only when nothing else holds the chips.
     """
     eval_cmd = f"lumi eval -c {config_path} --split {split}"
     if not watch:
         eval_cmd += " --no-watch"
+    if platform:
+        eval_cmd = f"JAX_PLATFORMS={platform} {eval_cmd}"
     return {
         "eval": [
             "gcloud", "compute", "tpus", "tpu-vm", "ssh", name,
-            f"--zone={zone}", "--worker=0", "--command", eval_cmd,
+            f"--zone={zone}", "--worker=0", "--command",
+            _detached(eval_cmd, "lumi-eval.log"),
         ]
     }
 
@@ -141,10 +169,15 @@ def spec(name, zone, accelerator_type, runtime_version, config_path,
               help="Dataset split to use.")
 @click.option("--watch/--no-watch", default=True,
               help="Keep watching the checkpoint dir for new files.")
+@click.option("--platform", default="cpu",
+              type=click.Choice(["cpu", "tpu"]),
+              help="Evaluator device; cpu coexists with a training job.")
 @click.option("--dry-run", is_flag=True)
-def evaluate(name, zone, config_path, dataset_split, watch, dry_run):
+def evaluate(name, zone, config_path, dataset_split, watch, platform,
+             dry_run):
     spec_dict = build_eval_spec(
-        name, zone, config_path, split=dataset_split, watch=watch
+        name, zone, config_path, split=dataset_split, watch=watch,
+        platform=platform,
     )
     result = _run(spec_dict["eval"], dry_run=dry_run)
     if result is not None:
@@ -172,7 +205,7 @@ def logs(name, zone, dry_run):
         [
             "gcloud", "compute", "tpus", "tpu-vm", "ssh", name,
             f"--zone={zone}", "--command",
-            "tail -f ~/jobs/*/events* 2>/dev/null || tail -f ~/nohup.out",
+            "tail -f ~/lumi-*.log 2>/dev/null || tail -f ~/nohup.out",
         ],
         dry_run=dry_run,
     )

@@ -284,6 +284,14 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
     space = int(train_cfg.get("spatial_shards") or 1)
     n_dev = len(devices)
     if space > 1:
+        if n_dev % space:
+            # An explicit spatial request that can't be honored (not
+            # enough devices / not divisible) must not silently no-op:
+            # the user asked for it because the canvas doesn't fit.
+            raise ValueError(
+                f"train.spatial_shards={space} requires a device count "
+                f"divisible by it; have {n_dev} device(s)"
+            )
         data_par = n_dev // space
         while data_par > 1 and batch_size % data_par:
             data_par -= 1

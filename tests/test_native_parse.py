@@ -118,6 +118,34 @@ def test_short_coordinate_list_raises():
         parse_od_record(record)
 
 
+def test_empty_coordinate_feature_raises():
+    # A Feature step exists but its value list is empty: python indexes
+    # lists["xmin"][1][0] -> IndexError; the native path must reject the
+    # record too, not silently write 0.0.
+    record = encode_sequence_example(
+        {"image_raw": b"x"},
+        {"label": [[1], [2]], "xmin": [[0], []], "ymin": [[0], [1]],
+         "xmax": [[5], [6]], "ymax": [[5], [6]]},
+    )
+    with pytest.raises(IndexError):
+        _python_reference(record)
+    with pytest.raises(ValueError):
+        parse_od_record(record)
+
+
+def test_empty_feature_beyond_label_count_is_ignored():
+    # Empty Features at indexes the python path never reads (>= num
+    # labels) are not an error on either path.
+    record = encode_sequence_example(
+        {"image_raw": b"x"},
+        {"label": [[1]], "xmin": [[0], []], "ymin": [[0]],
+         "xmax": [[5]], "ymax": [[5]]},
+    )
+    _, boxes_py, _ = _python_reference(record)
+    _, boxes_nat, _, _ = parse_od_record(record)
+    np.testing.assert_array_equal(boxes_nat, boxes_py)
+
+
 def test_truncated_record_raises():
     rng = np.random.RandomState(3)
     record = _record(3, rng)
