@@ -44,6 +44,45 @@ class TestCloudSpec:
         assert result.exit_code == 0, result.output
         assert "lumi eval -c c.yml --split val" in result.output
 
+    def test_remote_jobs_launch_detached(self):
+        # `lumi train`/`lumi eval --watch` never exit; a blocking ssh
+        # would hang the submitter (and serialize multi-host launches
+        # behind worker 0's whole run). Both specs must wrap the remote
+        # command in a backgrounded nohup that the shell can parse.
+        import subprocess
+
+        from luminoth_tpu.tools.cloud.tpu import (
+            build_eval_spec,
+            build_launch_spec,
+        )
+
+        spec = build_launch_spec(
+            "j", "z", "v5e-8", "v2", "cfg.yml", num_hosts=2
+        )
+        eval_spec = build_eval_spec("j", "z", "cfg.yml")
+        launches = [c[-1] for c in spec["train"]] + [
+            eval_spec["eval"][-1]
+        ]
+        for launch in launches:
+            assert launch.startswith("nohup ")
+            assert "&" in launch
+            check = subprocess.run(
+                ["sh", "-n", "-c", launch], capture_output=True
+            )
+            assert check.returncode == 0, check.stderr
+
+    def test_eval_spec_isolates_evaluator_from_training_tpu(self):
+        from luminoth_tpu.tools.cloud.tpu import build_eval_spec
+
+        # Default: CPU evaluator can coexist with the training job
+        # holding the (single-process) TPU.
+        assert "JAX_PLATFORMS=cpu lumi eval" in " ".join(
+            build_eval_spec("j", "z", "cfg.yml")["eval"]
+        )
+        assert "JAX_PLATFORMS=tpu lumi eval" in " ".join(
+            build_eval_spec("j", "z", "cfg.yml", platform="tpu")["eval"]
+        )
+
     def test_spec_command(self):
         from luminoth_tpu.tools.cloud.tpu import tpu
 
