@@ -70,6 +70,20 @@ def build_launch_spec(name, zone, accelerator, version, config_path,
     ]
     from luminoth_tpu.parallel.distributed import worker_env
 
+    # A local config file must be shipped to every host before launch;
+    # GCS/HTTP paths are readable from the VM directly.
+    copy_cmds = []
+    if not config_path.startswith(("gs://", "http://", "https://")):
+        remote_config = "~/lumi-config.yml"
+        copy_cmds.append(
+            [
+                "gcloud", "compute", "tpus", "tpu-vm", "scp", config_path,
+                f"{name}:{remote_config}", f"--zone={zone}",
+                "--worker=all",
+            ]
+        )
+        config_path = remote_config
+
     worker_cmds = []
     for process_id in range(num_hosts):
         env = " ".join(
@@ -88,7 +102,7 @@ def build_launch_spec(name, zone, accelerator, version, config_path,
                 ),
             ]
         )
-    return {"create": create_cmd, "train": worker_cmds}
+    return {"create": create_cmd, "copy": copy_cmds, "train": worker_cmds}
 
 
 def build_eval_spec(name, zone, config_path, split="val", watch=True,
@@ -105,17 +119,28 @@ def build_eval_spec(name, zone, config_path, split="val", watch=True,
     evaluator likewise ran on separate non-accelerated workers). Pass
     ``tpu`` only when nothing else holds the chips.
     """
+    copy_cmds = []
+    if not config_path.startswith(("gs://", "http://", "https://")):
+        remote_config = "~/lumi-eval-config.yml"
+        copy_cmds.append(
+            [
+                "gcloud", "compute", "tpus", "tpu-vm", "scp", config_path,
+                f"{name}:{remote_config}", f"--zone={zone}", "--worker=0",
+            ]
+        )
+        config_path = remote_config
     eval_cmd = f"lumi eval -c {config_path} --split {split}"
     if not watch:
         eval_cmd += " --no-watch"
     if platform:
         eval_cmd = f"JAX_PLATFORMS={platform} {eval_cmd}"
     return {
+        "copy": copy_cmds,
         "eval": [
             "gcloud", "compute", "tpus", "tpu-vm", "ssh", name,
             f"--zone={zone}", "--worker=0", "--command",
             _detached(eval_cmd, "lumi-eval.log"),
-        ]
+        ],
     }
 
 
@@ -141,6 +166,8 @@ def train(name, zone, accelerator_type, runtime_version, config_path,
         num_hosts,
     )
     _run(spec["create"], dry_run=dry_run)
+    for cmd in spec["copy"]:
+        _run(cmd, dry_run=dry_run)
     for cmd in spec["train"]:
         _run(cmd, dry_run=dry_run)
 
@@ -179,6 +206,8 @@ def evaluate(name, zone, config_path, dataset_split, watch, platform,
         name, zone, config_path, split=dataset_split, watch=watch,
         platform=platform,
     )
+    for cmd in spec_dict["copy"]:
+        _run(cmd, dry_run=dry_run)
     result = _run(spec_dict["eval"], dry_run=dry_run)
     if result is not None:
         click.echo(result.stdout)

@@ -22,7 +22,26 @@ class TestCloudSpec:
         cmd0 = " ".join(spec["train"][0])
         assert "LUMI_PROCESS_ID=0" in cmd0
         assert "LUMI_NUM_PROCESSES=2" in cmd0
-        assert "lumi train -c config.yml" in cmd0
+        # Local config: shipped to every host, remote path in the launch.
+        assert len(spec["copy"]) == 1
+        assert spec["copy"][0][5] == "config.yml"
+        assert "lumi train -c ~/lumi-config.yml" in cmd0
+
+    def test_gcs_config_is_not_copied(self):
+        from luminoth_tpu.tools.cloud.tpu import (
+            build_eval_spec,
+            build_launch_spec,
+        )
+
+        spec = build_launch_spec(
+            "j", "z", "v5e-8", "v2", "gs://bucket/cfg.yml", num_hosts=1
+        )
+        assert spec["copy"] == []
+        assert "lumi train -c gs://bucket/cfg.yml" in " ".join(
+            spec["train"][0]
+        )
+        eval_spec = build_eval_spec("j", "z", "gs://bucket/cfg.yml")
+        assert eval_spec["copy"] == []
 
     def test_build_eval_spec(self):
         from luminoth_tpu.tools.cloud.tpu import build_eval_spec
@@ -33,7 +52,12 @@ class TestCloudSpec:
         )
         cmd = " ".join(spec["eval"])
         assert "--worker=0" in cmd
-        assert "lumi eval -c config.yml --split test --no-watch" in cmd
+        assert len(spec["copy"]) == 1
+        assert spec["copy"][0][5] == "config.yml"
+        assert (
+            "lumi eval -c ~/lumi-eval-config.yml --split test --no-watch"
+            in cmd
+        )
 
     def test_evaluate_command_dry_run(self):
         from luminoth_tpu.tools.cloud.tpu import tpu
@@ -42,7 +66,10 @@ class TestCloudSpec:
             tpu, ["evaluate", "--name", "j", "-c", "c.yml", "--dry-run"]
         )
         assert result.exit_code == 0, result.output
-        assert "lumi eval -c c.yml --split val" in result.output
+        # Config shipped first, then the detached remote eval.
+        assert "scp c.yml" in result.output
+        assert "lumi eval -c ~/lumi-eval-config.yml --split val" \
+            in result.output
 
     def test_remote_jobs_launch_detached(self):
         # `lumi train`/`lumi eval --watch` never exit; a blocking ssh
