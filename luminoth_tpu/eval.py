@@ -130,8 +130,14 @@ def get_checkpoints(run_dir, last_step=0):
     return [s for s in manager.all_steps() if s > last_step]
 
 
-def _build_forward(model):
-    @jax.jit
+def _build_forward(model, mesh=None):
+    """Jitted eval forward; with a mesh, data-parallel over its devices.
+
+    DP evaluation has no reference counterpart (the TF1 evaluator was a
+    single session); here the batch axis shards over every chip of the
+    mesh and the host gathers fixed-size detection arrays, so the
+    streaming evaluator scales like the trainer does.
+    """
     def forward(variables, image, gt_boxes, im_shape):
         if image.dtype == jnp.uint8:
             # dataset.transfer_dtype=uint8: cast back on device.
@@ -146,17 +152,38 @@ def _build_forward(model):
             cp["objects"], cp["labels"], cp["probs"], cp["valid"], losses
         )
 
-    return forward
+    if mesh is None:
+        return jax.jit(forward)
+
+    from luminoth_tpu.parallel.mesh import batch_sharding, replicate_sharding
+
+    repl = replicate_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(forward, in_shardings=(repl, data, data, data))
+
+
+def _eval_mesh(batch_size):
+    """1-D data mesh over the largest device count dividing the batch."""
+    n_dev = len(jax.devices())
+    while batch_size % n_dev:
+        n_dev -= 1
+    if n_dev <= 1:
+        return None
+    from luminoth_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(num_devices=n_dev)
 
 
 def evaluate_once(config, model, variables, writer=None, global_step=0,
-                  forward=None, max_batches=None, files_per_class=0):
+                  forward=None, max_batches=None, files_per_class=0,
+                  mesh=None):
     """Evaluate one checkpoint over the configured split.
 
     Returns a metrics dict (AP/AR aggregates and mean losses). When
     ``files_per_class`` > 0 and a writer is given, up to that many rendered
     detection images per class are written as image summaries (reference
-    eval.py:351-380).
+    eval.py:351-380). With ``mesh``, the forward runs data-parallel
+    (pass a ``forward`` built with the same mesh, or let this build it).
     """
     num_classes = int(config.model.network.num_classes)
     dataset = get_dataset(config.dataset.type)(
@@ -164,7 +191,11 @@ def evaluate_once(config, model, variables, writer=None, global_step=0,
         pad_final_batch=True,
     )
     if forward is None:
-        forward = _build_forward(model)
+        forward = _build_forward(model, mesh=mesh)
+    if mesh is not None:
+        from luminoth_tpu.parallel.mesh import replicate_sharding
+
+        variables = jax.device_put(variables, replicate_sharding(mesh))
 
     saved_per_class = {}
 
@@ -246,7 +277,7 @@ def evaluate_once(config, model, variables, writer=None, global_step=0,
             logger.info("%d images evaluated (%.2f images/s)",
                         total_images, rate)
 
-    for batch, device_batch in prefetch_to_device(bounded(), None):
+    for batch, device_batch in prefetch_to_device(bounded(), mesh):
         outs = forward(
             variables,
             device_batch["image"],
@@ -339,7 +370,12 @@ def eval(dataset_split, config_files, watch, from_global_step,
         config.model.get("compute_dtype", "float32")
     ]
     model = get_model(config.model.type)(to_plain(config), dtype=dtype)
-    forward = _build_forward(model)
+    mesh = _eval_mesh(int(config.train.get("batch_size", 1)))
+    if mesh is not None:
+        logger.info(
+            "Evaluating data-parallel over %d devices", mesh.size
+        )
+    forward = _build_forward(model, mesh=mesh)
 
     job_dir = config.train.get("job_dir", "jobs/")
     run_name = config.train.get("run_name") or "default"
@@ -379,7 +415,7 @@ def eval(dataset_split, config_files, watch, from_global_step,
             evaluate_once(
                 config, model, variables, writer=writer,
                 global_step=step, forward=forward,
-                files_per_class=files_per_class,
+                files_per_class=files_per_class, mesh=mesh,
             )
             last_step = step
         if not watch:

@@ -101,6 +101,37 @@ class TestCalculateMetrics:
         np.testing.assert_allclose(ar[0], 0.5)
 
 
+def test_dp_eval_matches_single_device(tmp_path):
+    """evaluate_once over a 2-device mesh == single device: identical
+    detections (hence AP) and near-identical mean losses."""
+    from test_integration import write_dataset, build_tiny_config
+
+    import jax
+    from luminoth_tpu.eval import _eval_mesh, evaluate_once
+    from luminoth_tpu.models import get_model
+    from luminoth_tpu.utils.config import to_plain
+
+    data_dir = write_dataset(tmp_path)
+    config = build_tiny_config(data_dir, str(tmp_path))
+    model = get_model("fasterrcnn")(to_plain(config))
+    dataset_batch = np.zeros(
+        (config.train.batch_size, 96, 96, 3), np.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), dataset_batch)
+
+    single = evaluate_once(config, model, variables, max_batches=2)
+    mesh = _eval_mesh(int(config.train.batch_size))
+    assert mesh is not None and mesh.size == 2
+    dp = evaluate_once(
+        config, model, variables, max_batches=2, mesh=mesh
+    )
+    assert dp["images"] == single["images"]
+    np.testing.assert_allclose(dp["AP@0.5"], single["AP@0.5"], atol=1e-6)
+    np.testing.assert_allclose(
+        dp["losses/total_loss"], single["losses/total_loss"], rtol=1e-4
+    )
+
+
 def test_evaluate_once_covers_all_images(tmp_path):
     """7 images at batch 3: the evaluator pads the final batch and skips
     the padded rows — every image evaluated exactly once (the plain

@@ -51,10 +51,13 @@ def write_dataset(tmp_path, n=4, split="train"):
 
 @pytest.fixture(scope="module")
 def tiny_config(tmp_path_factory):
-    from luminoth_tpu.models.fasterrcnn import FasterRCNN
-
     tmp_path = tmp_path_factory.mktemp("data")
     data_dir = write_dataset(tmp_path)
+    return build_tiny_config(data_dir, str(tmp_path))
+
+
+def build_tiny_config(data_dir, tmp_root):
+    from luminoth_tpu.models.fasterrcnn import FasterRCNN
 
     cfg = get_model_config(get_base_config(FasterRCNN), Config({}), [])
     cfg.model.network.num_classes = 2
@@ -72,7 +75,7 @@ def tiny_config(tmp_path_factory):
     cfg.dataset.data_augmentation = []
     cfg.train.batch_size = 2
     cfg.train.num_epochs = 1
-    cfg.train.job_dir = str(tmp_path / "jobs")
+    cfg.train.job_dir = os.path.join(tmp_root, "jobs")
     cfg.train.run_name = "inttest"
     cfg.train.save_checkpoint_secs = 0
     cfg.train.save_summaries_secs = 100000
