@@ -67,6 +67,43 @@ def predict_image(network, path, only_classes=None, ignore_classes=None,
     return objects
 
 
+def predict_image_batch(network, paths, only_classes=None,
+                        ignore_classes=None, save_paths=None,
+                        batch_size=4):
+    """Detect over many image files with batched device forwards.
+
+    Yields ``(path, objects)`` in input order; unreadable files yield
+    ``(path, None)``. One compiled program serves every full batch
+    (``pad_to`` keeps the final ragged group on the same shape).
+    """
+    save_paths = save_paths or {}
+    for start in range(0, len(paths), batch_size):
+        group = paths[start:start + batch_size]
+        images = {}
+        for path in group:
+            try:
+                images[path] = read_image(path)
+            except Exception as e:
+                logger.exception("Error reading %s: %s", path, e)
+        kept = [p for p in group if p in images]
+        results = (
+            network.predict_batch(
+                [images[p] for p in kept], pad_to=batch_size
+            )
+            if kept else []
+        )
+        by_path = dict(zip(kept, results))
+        for path in group:
+            objects = by_path.get(path)
+            if objects is None:
+                yield path, None
+                continue
+            objects = filter_classes(objects, only_classes, ignore_classes)
+            if save_paths.get(path):
+                vis_objects(images[path], objects).save(save_paths[path])
+            yield path, objects
+
+
 def predict_video(network, path, only_classes=None, ignore_classes=None,
                   save_path=None, batch_size=4):
     """Detect objects per frame, batching frames for device throughput."""
@@ -150,10 +187,13 @@ def predict_video(network, path, only_classes=None, ignore_classes=None,
 @click.option(
     "--ignore-class", "-K", default=None, multiple=True,
     help="Class to ignore when predicting.")
+@click.option(
+    "--batch-size", default=1, type=int,
+    help="Images per device forward (directories/multi-file runs).")
 @click.option("--debug", is_flag=True, help="Set debug level logging.")
 def predict(path_or_dir, config_files, checkpoint, override_params,
             output_path, save_media_to, min_prob, max_detections,
-            only_class, ignore_class, debug):
+            only_class, ignore_class, batch_size, debug):
     """``lumi predict`` entry point."""
     logging.basicConfig(level=logging.DEBUG if debug else logging.INFO)
 
@@ -209,12 +249,28 @@ def predict(path_or_dir, config_files, checkpoint, override_params,
     if save_media_to:
         os.makedirs(save_media_to, exist_ok=True)
 
-    for path in files:
-        save_path = None
-        if save_media_to:
-            save_path = os.path.join(
-                save_media_to, "pred_" + os.path.basename(path)
+    def media_path(path):
+        if not save_media_to:
+            return None
+        return os.path.join(save_media_to, "pred_" + os.path.basename(path))
+
+    # Batched image path: group image files into device-sized forwards.
+    image_files = [p for p in files if get_file_type(p) == "image"]
+    if batch_size > 1 and len(image_files) > 1:
+        save_paths = {p: media_path(p) for p in image_files}
+        for path, objects in predict_image_batch(
+            network, image_files, only_class, ignore_class,
+            save_paths=save_paths, batch_size=batch_size,
+        ):
+            if objects is None:
+                continue
+            output.write(
+                json.dumps({"file": path, "objects": objects}) + "\n"
             )
+        files = [p for p in files if get_file_type(p) != "image"]
+
+    for path in files:
+        save_path = media_path(path)
         file_type = get_file_type(path)
         try:
             if file_type == "image":
@@ -225,7 +281,8 @@ def predict(path_or_dir, config_files, checkpoint, override_params,
                 if save_path:
                     save_path = os.path.splitext(save_path)[0] + ".mp4"
                 objects = predict_video(
-                    network, path, only_class, ignore_class, save_path
+                    network, path, only_class, ignore_class, save_path,
+                    batch_size=batch_size if batch_size > 1 else 4,
                 )
         except Exception as e:  # keep going over remaining files
             logger.exception("Error processing %s: %s", path, e)

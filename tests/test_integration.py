@@ -165,3 +165,47 @@ class TestEndToEnd:
         assert payload["file"] == str(img_path)
         assert isinstance(payload["objects"], list)
         assert (media_dir / "pred_input.jpg").exists()
+
+    def test_predict_cli_batched(self, tiny_config, tmp_path):
+        """--batch-size groups a directory of images into shared device
+        forwards; every file still gets its own JSON line and media."""
+        import json as _json
+
+        import yaml
+        from click.testing import CliRunner
+        from PIL import Image as PILImage
+
+        from luminoth_tpu.predict import predict
+        from luminoth_tpu.utils.config import to_plain
+
+        config_path = tmp_path / "config.yml"
+        with open(config_path, "w") as f:
+            yaml.safe_dump(to_plain(tiny_config), f)
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rng = np.random.RandomState(5)
+        for i in range(3):  # 3 images at batch 2: one ragged final group
+            PILImage.fromarray(
+                rng.randint(0, 255, (80, 100, 3), dtype=np.uint8)
+            ).save(img_dir / f"im{i}.jpg")
+        (img_dir / "broken.png").write_bytes(b"not an image")
+
+        out_json = tmp_path / "batched.json"
+        media_dir = tmp_path / "media_b"
+        result = CliRunner().invoke(
+            predict,
+            [str(img_dir), "-c", str(config_path),
+             "-f", str(out_json), "-d", str(media_dir),
+             "--min-prob", "0.0", "--batch-size", "2"],
+        )
+        assert result.exit_code == 0, result.output
+
+        lines = out_json.read_text().strip().splitlines()
+        payloads = [_json.loads(line) for line in lines]
+        named = {os.path.basename(p["file"]): p["objects"] for p in payloads}
+        # The unreadable file is skipped; the 3 good ones all appear.
+        assert set(named) == {"im0.jpg", "im1.jpg", "im2.jpg"}
+        for i in range(3):
+            assert isinstance(named[f"im{i}.jpg"], list)
+            assert (media_dir / f"pred_im{i}.jpg").exists()
