@@ -219,7 +219,15 @@ class FasterRCNN(nn.Module):
 
         # ROI crop-and-resize from the padded-image coordinate frame.
         roi_cfg = rcnn_cfg.roi
-        crop_size = int(roi_cfg.pooled_height) * 2
+        # The reference passes [pooled_width*2, pooled_height*2] as
+        # tf.image.crop_and_resize's [crop_height, crop_width]
+        # (roi_pool.py:75-78) — pooled_width sets the crop HEIGHT there;
+        # mirrored verbatim for parity (irrelevant at the square default).
+        # Square sizes take the fused Pallas kernel, rectangular the XLA
+        # path.
+        crop_h = int(roi_cfg.pooled_width) * 2
+        crop_w = int(roi_cfg.pooled_height) * 2
+        crop_size = crop_h if crop_h == crop_w else (crop_h, crop_w)
         pooled = roi_crop_pool_batch(
             feature_map, proposals, (float(full_h), float(full_w)),
             crop_size=crop_size,

@@ -71,15 +71,21 @@ def rcnn_target_assign(
     iou_is_fg = (max_overlaps >= foreground_threshold) & proposals_valid
     labels = jnp.where(iou_is_fg, best_fg_labels, labels)
 
-    # The single best proposal for each gt gets its class (priority).
+    # The single best proposal for each gt gets its class (priority). A
+    # column that is all -1 means no valid proposal overlapped this gt at
+    # all (e.g. zero valid proposals early in training); argmax would point
+    # at padding row 0, so gate the override on gt_best > -1 like
+    # rpn_target does for its best-anchor-per-gt pass.
     best_proposal_idx = jnp.argmax(overlaps, axis=0)  # (G,)
+    gt_best = jnp.max(overlaps, axis=0)  # (G,)
+    best_valid = gt_valid & (gt_best > -1.0)
     labels = labels.at[best_proposal_idx].set(
-        jnp.where(gt_valid, gt[:, 4] + 1.0, labels[best_proposal_idx])
+        jnp.where(best_valid, gt[:, 4] + 1.0, labels[best_proposal_idx])
     )
     is_best = (
         jnp.zeros((num_proposals,), bool)
         .at[best_proposal_idx]
-        .set(gt_valid, mode="drop")
+        .set(best_valid, mode="drop")
     )
 
     # Subsample: at most max_fg positives, then fill with backgrounds.

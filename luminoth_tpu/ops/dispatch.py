@@ -1,0 +1,21 @@
+"""Backend dispatch predicate shared by the Pallas-accelerated ops.
+
+The fused kernels (ROI crop+pool, grouped NMS) target the TPU; every op
+that uses them also carries a pure-XLA formulation for CPU/GPU and for
+debugging. ``LUMI_DISABLE_PALLAS=1`` forces the XLA path everywhere.
+"""
+
+import os
+
+import jax
+
+
+def on_tpu():
+    """True when the default backend should take the Pallas kernel path."""
+    if os.environ.get("LUMI_DISABLE_PALLAS"):
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform not in ("cpu", "gpu")

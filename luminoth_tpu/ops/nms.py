@@ -27,6 +27,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from luminoth_tpu.ops.boxes import iou_matrix
+from luminoth_tpu.ops.dispatch import on_tpu as _on_tpu
 
 # A host-side numpy scalar, NOT jnp: a module-level jnp scalar becomes an
 # eagerly-committed device array, and embedding it as an MLIR constant at
@@ -159,18 +160,6 @@ def _alive_sorted_xla(boxes_s, valid_s, iou_threshold, block):
         return alive
 
     return jax.lax.fori_loop(0, num_blocks, tile_step, valid_s)
-
-
-def _on_tpu():
-    import os
-
-    if os.environ.get("LUMI_DISABLE_PALLAS"):
-        return False
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        return False
-    return platform not in ("cpu", "gpu")
 
 
 @partial(

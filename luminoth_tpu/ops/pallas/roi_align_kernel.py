@@ -40,8 +40,9 @@ def _roi_kernel(wy_ref, wx_ref, fmt_ref, out_ref, *, tile_r, s, pool):
     #    VMEM-traffic-bound on this array, and H < W for wide canvases.
     # The f32 accumulator is cast back to the feature map's dtype: bf16
     # halves the traffic on the bf16 compute path, while an f32 model
-    # keeps full precision (and forward maxpool argmaxes that agree with
-    # the f32 recompute in the backward pass).
+    # keeps full precision. The backward pass's pre-pool recompute
+    # mirrors this exact cast + contraction order so maxpool argmaxes
+    # agree in both dtypes.
     wx_all = wx_ref[0].reshape(tile_r * s, w)  # (tile_r*S, W)
     cols_all = jnp.dot(
         wx_all, fmt, preferred_element_type=jnp.float32
@@ -105,8 +106,6 @@ def _roi_align_bwd(crop_size, pool, residuals, g):
         g, ((0, 0), (0, pad)) + ((0, 0),) * (g.ndim - 2)
     ).astype(jnp.float32)
 
-    fm32 = feature_map.astype(jnp.float32)
-
     def chunk_slices(i):
         start = i * chunk
         take = partial(
@@ -118,9 +117,22 @@ def _roi_align_bwd(crop_size, pool, residuals, g):
     def body(i, d_fm):
         wy_c, wx_c, g_c = chunk_slices(i)
         if pool:
-            # Recompute the pre-pool crop for this chunk to find maxima.
-            rows = jnp.einsum("brsh,bhwc->brswc", wy_c, fm32)
-            crop = jnp.einsum("brtw,brswc->brstc", wx_c, rows)
+            # Recompute the pre-pool crop for this chunk to find the
+            # window maxima, replicating the forward kernel's arithmetic:
+            # the wx contraction runs FIRST and its f32 accumulator is
+            # cast back to the feature map's dtype before the wy
+            # contraction (the kernel's VMEM-traffic cast), so bf16
+            # models pool the same intermediate values in both passes and
+            # the argmax routing agrees.
+            cdt = feature_map.dtype
+            cols = jnp.einsum(
+                "brtw,bhwc->brthc", wx_c.astype(cdt), feature_map,
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
+            crop = jnp.einsum(
+                "brsh,brthc->brstc", wy_c.astype(cdt), cols,
+                preferred_element_type=jnp.float32,
+            )
             win = crop.reshape(b, chunk, s // 2, 2, s // 2, 2, c)
             win_max = jnp.max(win, axis=(3, 5), keepdims=True)
             is_max = (win == win_max).astype(jnp.float32)

@@ -25,6 +25,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from luminoth_tpu.ops.dispatch import on_tpu as _on_tpu
+
 
 def _sample_coords(lo, hi, size, image_dim):
     """TF crop_and_resize sampling positions along one axis. (..., S)."""
@@ -50,24 +52,20 @@ def _interp_matrix(coords, dim):
     return weights * in_bounds[..., None]
 
 
+def _pair(crop_size):
+    """Normalize an int-or-(height, width) crop size to ``(sy, sx)``."""
+    if isinstance(crop_size, (tuple, list)):
+        return int(crop_size[0]), int(crop_size[1])
+    return int(crop_size), int(crop_size)
+
+
 def interp_weights(boxes, h, w, crop_size):
-    """Per-ROI interpolation matrices ``(Wy (R,S,H), Wx (R,S,W))``."""
+    """Per-ROI interpolation matrices ``(Wy (R,Sy,H), Wx (R,Sx,W))``."""
+    sy, sx = _pair(crop_size)
     y1, x1, y2, x2 = (boxes[:, i] for i in range(4))
-    wy = _interp_matrix(_sample_coords(y1, y2, crop_size, h), h)
-    wx = _interp_matrix(_sample_coords(x1, x2, crop_size, w), w)
+    wy = _interp_matrix(_sample_coords(y1, y2, sy, h), h)
+    wx = _interp_matrix(_sample_coords(x1, x2, sx, w), w)
     return wy, wx
-
-
-def _on_tpu():
-    import os
-
-    if os.environ.get("LUMI_DISABLE_PALLAS"):
-        return False
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        return False
-    return platform not in ("cpu", "gpu")
 
 
 @partial(jax.jit, static_argnames=("crop_size", "chunk_size"))
@@ -77,14 +75,15 @@ def crop_and_resize(feature_map, boxes, crop_size, chunk_size=512):
     Args:
         feature_map: (H, W, C) feature map.
         boxes: (R, 4) normalized ``(y1, x1, y2, x2)`` boxes.
-        crop_size: static output side S.
+        crop_size: static output side S, or an ``(Sy, Sx)`` pair.
         chunk_size: ROIs per chunk (bounds the rows intermediate).
 
     Returns:
-        (R, S, S, C) crops in the feature map's dtype.
+        (R, Sy, Sx, C) crops in the feature map's dtype.
     """
     boxes = boxes.astype(jnp.float32)
     h, w, c = feature_map.shape
+    sy, sx = _pair(crop_size)
     r = boxes.shape[0]
     dtype = feature_map.dtype
 
@@ -109,38 +108,43 @@ def crop_and_resize(feature_map, boxes, crop_size, chunk_size=512):
     padded = jnp.pad(boxes, ((0, pad), (0, 0)))
     chunked = padded.reshape(num_chunks, chunk_size, 4)
     out = jax.lax.map(crop_chunk, chunked)
-    return out.reshape(num_chunks * chunk_size, crop_size, crop_size, c)[:r]
+    return out.reshape(num_chunks * chunk_size, sy, sx, c)[:r]
 
 
 def roi_crop_pool(feature_map, rois, im_shape, crop_size=14, pool=True):
     """Full reference ROI pooling: normalize, crop 2S×2S-equivalent, max-pool.
 
-    The reference crops ``pooled_size * 2`` (14×14) then 2×2/2 max-pools to
-    7×7 (roi_pool.py:68-95). ``rois`` are (R, 4) xyxy in image coordinates;
-    ``im_shape`` is the (height, width) the rois live in.
+    The reference crops ``[pooled_height * 2, pooled_width * 2]`` (14×14
+    by default) then 2×2/2 max-pools to 7×7 (roi_pool.py:68-95). ``rois``
+    are (R, 4) xyxy in image coordinates; ``im_shape`` is the
+    (height, width) the rois live in. ``crop_size`` may be an int or an
+    ``(Sy, Sx)`` pair; the fused Pallas kernel covers the square case and
+    rectangular crops take the XLA einsum path.
 
     Returns:
-        (R, S/2, S/2, C) pooled crops when ``pool`` else (R, S, S, C).
+        (R, Sy/2, Sx/2, C) pooled crops when ``pool`` else (R, Sy, Sx, C).
     """
     h, w = im_shape[0], im_shape[1]
+    sy, sx = _pair(crop_size)
     x1, y1, x2, y2 = jnp.split(rois.astype(jnp.float32), 4, axis=-1)
     # Normalize by the image dims like the reference (roi_pool.py:55-66).
     boxes = jnp.concatenate(
         [y1 / h, x1 / w, y2 / h, x2 / w], axis=-1
     )
 
-    if _on_tpu():
+    if sy == sx and _on_tpu():
         from luminoth_tpu.ops.pallas.roi_align_kernel import roi_align_pallas
 
         fh, fw = feature_map.shape[0], feature_map.shape[1]
         wy, wx = interp_weights(boxes, fh, fw, crop_size)
-        return roi_align_pallas(feature_map, wy, wx, crop_size, pool)
+        return roi_align_pallas(feature_map, wy, wx, sy, pool)
 
-    crops = crop_and_resize(feature_map, boxes, crop_size)
+    crops = crop_and_resize(feature_map, boxes, (sy, sx))
     if not pool:
         return crops
-    r, s, _, c = crops.shape
-    crops = crops.reshape(r, s // 2, 2, s // 2, 2, c)
+    r = crops.shape[0]
+    c = crops.shape[-1]
+    crops = crops.reshape(r, sy // 2, 2, sx // 2, 2, c)
     return jnp.max(crops, axis=(2, 4))
 
 
@@ -152,26 +156,28 @@ def roi_crop_pool_batch(feature_maps, rois, im_shape, crop_size=14,
     never vmap a pallas_call, its batching path compiles far slower.
     """
     h, w = im_shape[0], im_shape[1]
+    sy, sx = _pair(crop_size)
     x1, y1, x2, y2 = jnp.split(rois.astype(jnp.float32), 4, axis=-1)
     boxes = jnp.concatenate(
         [y1 / h, x1 / w, y2 / h, x2 / w], axis=-1
     )  # (B, R, 4)
 
-    if _on_tpu():
+    if sy == sx and _on_tpu():
         from luminoth_tpu.ops.pallas.roi_align_kernel import roi_align_pallas
 
         fh, fw = feature_maps.shape[1], feature_maps.shape[2]
         wy, wx = jax.vmap(
             lambda bx: interp_weights(bx, fh, fw, crop_size)
         )(boxes)
-        return roi_align_pallas(feature_maps, wy, wx, crop_size, pool)
+        return roi_align_pallas(feature_maps, wy, wx, sy, pool)
 
     def one(fm, image_boxes):
-        crops = crop_and_resize(fm, image_boxes, crop_size)
+        crops = crop_and_resize(fm, image_boxes, (sy, sx))
         if not pool:
             return crops
-        r, s, _, c = crops.shape
-        crops = crops.reshape(r, s // 2, 2, s // 2, 2, c)
+        r = crops.shape[0]
+        c = crops.shape[-1]
+        crops = crops.reshape(r, sy // 2, 2, sx // 2, 2, c)
         return jnp.max(crops, axis=(2, 4))
 
     return jax.vmap(one)(feature_maps, boxes)

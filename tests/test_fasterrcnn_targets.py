@@ -141,6 +141,17 @@ class TestRCNNTarget:
         assert labels[0] == 2.0
         assert labels[1] <= 0.0  # never fg
 
+    def test_all_proposals_invalid_no_fg(self):
+        # Zero valid proposals (possible very early in training): the
+        # best-proposal-per-gt override must not promote a padding row.
+        proposals = [[20, 20, 60, 60], [10, 10, 50, 50]]
+        valid = jnp.asarray([False, False])
+        labels, targets = self._assign(
+            proposals, gt([[20, 20, 60, 60, 1]]), valid=valid
+        )
+        assert int(jnp.sum(labels >= 0)) == 0  # nothing selected
+        assert np.allclose(np.asarray(targets), 0.0)
+
     def test_minibatch_size_honored(self):
         rng = np.random.RandomState(1)
         n = 500

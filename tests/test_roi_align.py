@@ -86,6 +86,33 @@ class TestCropAndResize:
         np.testing.assert_allclose(got[0], fm, atol=1e-5)
 
 
+class TestRectangularCrop:
+    def test_rect_crop_matches_tf(self, rng):
+        tf = pytest.importorskip("tensorflow")
+        fm = rng.randn(17, 21, 3).astype(np.float32)
+        boxes = np.asarray(
+            [[0.1, 0.2, 0.7, 0.9], [0.0, 0.0, 1.0, 1.0]], np.float32
+        )
+        got = np.asarray(
+            crop_and_resize(jnp.asarray(fm), jnp.asarray(boxes), (6, 10))
+        )
+        want = tf.image.crop_and_resize(
+            fm[None], boxes, np.zeros(len(boxes), np.int32), [6, 10]
+        ).numpy()
+        assert got.shape == (2, 6, 10, 3)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    def test_rect_pool_shape(self, rng):
+        fm = rng.randn(16, 16, 2).astype(np.float32)
+        rois = jnp.asarray([[0.0, 0.0, 127.0, 127.0]])
+        out = np.asarray(
+            roi_crop_pool(
+                jnp.asarray(fm), rois, (128.0, 128.0), crop_size=(10, 14)
+            )
+        )
+        assert out.shape == (1, 5, 7, 2)
+
+
 class TestRoiCropPool:
     def test_pool_shape_and_max(self, rng):
         fm = rng.randn(16, 16, 8).astype(np.float32)
