@@ -21,6 +21,7 @@ context: image_raw/filename/width/height/depth; sequence lists:
 label, xmin, ymin, xmax, ymax (one int64 per gt box).
 """
 
+import logging
 import os
 import queue
 import threading
@@ -33,10 +34,14 @@ from luminoth_tpu.formats.native_example import parse_od_record
 from luminoth_tpu.formats.tfrecord import find_split_files, read_tfrecords
 from luminoth_tpu.utils.image import (
     apply_data_augmentation,
+    compose_scale,
+    fit_to_canvas,
     resize_image,
     resize_image_fixed,
     settle_transfer_dtype,
 )
+
+logger = logging.getLogger(__name__)
 
 
 def decode_image_bytes(data):
@@ -167,13 +172,19 @@ def canvas_buckets(config):
 
 
 def pick_bucket(buckets, h, w):
-    """Smallest-area bucket that fits an (h, w) image (fallback: last)."""
+    """Smallest-area bucket that fits an (h, w) image.
+
+    When no bucket fits, returns the one needing the least downscale
+    (the caller then shrinks the image to fit — see ``_prepare``).
+    """
     best = None
     for canvas in buckets:
         if h <= canvas[0] and w <= canvas[1]:
             if best is None or canvas[0] * canvas[1] < best[0] * best[1]:
                 best = canvas
-    return best or buckets[-1]
+    if best is not None:
+        return best
+    return max(buckets, key=lambda c: min(c[0] / h, c[1] / w))
 
 
 def pad_to_canvas(image, canvas_hw):
@@ -333,6 +344,22 @@ class ObjectDetectionDataset:
         canvas = pick_bucket(
             self._buckets, resized.shape[0], resized.shape[1]
         )
+        if resized.shape[0] > canvas[0] or resized.shape[1] > canvas[1]:
+            # No bucket fits (e.g. portrait image, landscape-only
+            # canvas): downscale to fit instead of cropping — a crop
+            # would leave gt boxes pointing at removed content.
+            refit = fit_to_canvas(
+                resized, canvas, bboxes=result.get("bboxes"),
+                method=self._config.dataset.image_preprocessing.get(
+                    "resize_method"
+                ),
+            )
+            resized = refit["image"]
+            if refit.get("bboxes") is not None:
+                result["bboxes"] = refit["bboxes"]
+            result["scale_factor"] = compose_scale(
+                result.get("scale_factor", 1.0), refit["scale"]
+            )
         # Settle the transfer dtype BEFORE padding (smaller array). The
         # uint8 pipeline stays integer end to end unless a photometric
         # augmentation promoted it; quantizing back costs <0.5 intensity,
@@ -343,14 +370,19 @@ class ObjectDetectionDataset:
         scale = result.get("scale_factor", 1.0)
         if isinstance(scale, tuple):
             scale = float(np.mean(scale))
+        final_boxes = result.get("bboxes")
+        if final_boxes is None:
+            final_boxes = bboxes
         return {
             "image": resized,
             "bucket": canvas,
-            "gt_boxes": pad_gt_boxes(result.get("bboxes", bboxes), self._max_gt),
+            "gt_boxes": pad_gt_boxes(final_boxes, self._max_gt),
             "im_shape": (float(h), float(w)),
             "scale_factor": float(scale),
             "filename": filename,
-            "num_gt": len(bboxes),
+            # Count of boxes actually shipped (augmentations like
+            # random_patch can drop boxes relative to the raw record).
+            "num_gt": len(final_boxes),
         }
 
     def _prepared_stream(self):
@@ -360,12 +392,29 @@ class ObjectDetectionDataset:
         stream order (deterministic batches for a fixed seed). Replaces the
         reference's 20 parallel enqueue ops (base_dataset.py:71-74).
         """
+        skipped = 0
+
+        def note_skip(exc):
+            # Surface systematic failures (wrong schema, undecodable
+            # images) instead of silently yielding an empty dataset:
+            # full traceback for the first, counts every 100 after.
+            nonlocal skipped
+            skipped += 1
+            if skipped == 1:
+                logger.warning(
+                    "Skipping unreadable example (%s: %s); further skips "
+                    "logged every 100.", type(exc).__name__, exc,
+                    exc_info=True,
+                )
+            elif skipped % 100 == 0:
+                logger.warning("Skipped %d unreadable examples.", skipped)
+
         if self._num_workers <= 1:
             for record, seed in self._example_stream():
                 try:
                     yield self._prepare(record, seed)
-                except Exception:
-                    continue
+                except Exception as exc:
+                    note_skip(exc)
             return
 
         import collections
@@ -379,13 +428,13 @@ class ObjectDetectionDataset:
                 if len(pending) >= window:
                     try:
                         yield pending.popleft().result()
-                    except Exception:
-                        continue
+                    except Exception as exc:
+                        note_skip(exc)
             while pending:
                 try:
                     yield pending.popleft().result()
-                except Exception:
-                    continue
+                except Exception as exc:
+                    note_skip(exc)
 
     def _batch_stream(self):
         """Accumulate per-bucket so batches stay shape-homogeneous."""
@@ -415,26 +464,51 @@ class ObjectDetectionDataset:
         # else: drop remainders (static batch shapes only).
 
     def __iter__(self):
-        """Iterate batches with background prefetching."""
+        """Iterate batches with background prefetching.
+
+        Abandoning the iterator early (``break`` out of the loop, or a
+        bounded eval) stops the worker promptly: puts are bounded waits
+        against a stop flag, and the consumer's ``finally`` sets the flag
+        and drains the queue so no thread stays pinned on a full queue.
+        """
         q = queue.Queue(maxsize=self._prefetch)
         sentinel = object()
+        stop = threading.Event()
         error = []
+
+        def put(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self._batch_stream():
-                    q.put(batch)
+                    if not put(batch):
+                        return
             except Exception as e:  # surface loader errors
                 error.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         thread = threading.Thread(target=worker, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            stop.set()
+            try:  # wake a producer blocked on a full queue
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass

@@ -19,6 +19,7 @@ from luminoth_tpu.datasets import get_dataset
 from luminoth_tpu.models import get_model
 from luminoth_tpu.ops.np_boxes import bbox_overlap
 from luminoth_tpu.utils.config import get_config, to_plain
+from luminoth_tpu.utils.training import model_dtype
 
 logger = logging.getLogger(__name__)
 
@@ -80,6 +81,8 @@ def calculate_metrics(output_per_batch, num_classes):
     ap_per_class = np.zeros((num_classes, len(iou_thresholds)))
     ar_per_class = np.zeros((num_classes, len(iou_thresholds)))
     for cls in range(num_classes):
+        if not tp_fp_by_class[cls]:  # zero evaluated batches
+            continue
         labels, scores = zip(*tp_fp_by_class[cls])
         labels = np.concatenate(labels)
         scores = np.concatenate(scores)
@@ -366,10 +369,9 @@ def eval(dataset_split, config_files, watch, from_global_step,
         config.model.proposals.total_max_detections = max_detections
         config.model.proposals.min_prob_threshold = 0.0
 
-    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
-        config.model.get("compute_dtype", "float32")
-    ]
-    model = get_model(config.model.type)(to_plain(config), dtype=dtype)
+    model = get_model(config.model.type)(
+        to_plain(config), dtype=model_dtype(config)
+    )
     mesh = _eval_mesh(int(config.train.get("batch_size", 1)))
     if mesh is not None:
         logger.info(

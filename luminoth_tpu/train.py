@@ -32,7 +32,12 @@ from flax.core import unfreeze
 
 from luminoth_tpu.datasets import get_dataset
 from luminoth_tpu.models import get_model
-from luminoth_tpu.parallel import make_mesh, batch_sharding, replicate_sharding
+from luminoth_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicate_sharding,
+    shard_batch,
+)
 from luminoth_tpu.utils.config import get_config, to_plain
 from luminoth_tpu.utils.experiments import save_run
 from luminoth_tpu.utils.training import (
@@ -55,11 +60,6 @@ class TrainState:
 def _model_dtype(config):
     name = config.model.get("compute_dtype", "float32")
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
-
-
-def build_model(config):
-    model_class = get_model(config.model.type)
-    return model_class(to_plain(config), dtype=_model_dtype(config))
 
 
 def init_model(model, config, batch_spec, rng):
@@ -215,10 +215,7 @@ def _device_batch(batch, mesh):
     keep = {"image", "gt_boxes", "im_shape"}
     out = {k: v for k, v in batch.items() if k in keep}
     if mesh is not None:
-        return {
-            k: jax.device_put(v, batch_sharding(mesh, ndim=np.ndim(v)))
-            for k, v in out.items()
-        }
+        return shard_batch(out, mesh)
     # Explicit device_put (instead of letting jit transfer at call time)
     # so prefetch_to_device can issue batch k+1's upload while step k is
     # still executing.
@@ -354,6 +351,16 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
         if restored is not None:
             state = restored
             logger.info("Resumed from step %d", int(state.step))
+        if jax.process_count() > 1:
+            # Only the chief saves (no shared filesystem assumed), so
+            # after a restart the chief restores step-N state while
+            # workers keep their fresh init — broadcast the chief's
+            # state so every process resumes identically (values AND
+            # step; a per-process step would desynchronize the epoch
+            # end and hang the collective).
+            from jax.experimental import multihost_utils
+
+            state = multihost_utils.broadcast_one_to_all(state)
 
     writer = None
     if not no_log and is_chief:

@@ -166,8 +166,13 @@ def merge_into(new_config, base_config, overwrite=False):
             if _should_replace(new_config, base_config, key):
                 base_config[key] = value
             else:
+                base = base_config.get(key)
+                if not isinstance(base, dict):
+                    # A dict may merge over None (an empty YAML section
+                    # parses to None) or a missing key.
+                    base = Config()
                 base_config[key] = merge_into(
-                    value, base_config.get(key, Config()), overwrite=overwrite
+                    value, base, overwrite=overwrite
                 )
         else:
             if base_config.get(key) is None or overwrite:

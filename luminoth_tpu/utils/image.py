@@ -155,6 +155,42 @@ def resize_image_fixed(image, new_height, new_width, bboxes=None,
     return result
 
 
+def fit_to_canvas(image, canvas_hw, bboxes=None, method=None):
+    """Downscale (aspect-preserving) so the image fits the canvas.
+
+    No-op when it already fits. Used before padding: an image that fits
+    no canvas bucket (e.g. a portrait image with only a landscape canvas
+    configured) must be scaled down, never cropped — cropping would
+    orphan gt/detection coordinates pointing at removed content.
+
+    Returns dict(image, bboxes?, scale) where ``scale`` is the extra
+    (sy, sx) factor applied on top of any earlier resize ((1.0, 1.0)
+    when untouched).
+    """
+    image = np.asarray(image)
+    h, w = image.shape[0], image.shape[1]
+    ch, cw = int(canvas_hw[0]), int(canvas_hw[1])
+    if h <= ch and w <= cw:
+        out = {"image": image, "scale": (1.0, 1.0)}
+        if bboxes is not None:
+            out["bboxes"] = bboxes
+        return out
+    fit = min(ch / h, cw / w)
+    nh = max(1, min(ch, int(round(h * fit))))
+    nw = max(1, min(cw, int(round(w * fit))))
+    result = resize_image_fixed(image, nh, nw, bboxes=bboxes, method=method)
+    result["scale"] = (nh / h, nw / w)
+    return result
+
+
+def compose_scale(scale, extra):
+    """Combine a scalar-or-(sy, sx) scale with an extra (sy, sx) factor."""
+    sy, sx = extra
+    if isinstance(scale, tuple):
+        return (scale[0] * sy, scale[1] * sx)
+    return (scale * sy, scale * sx)
+
+
 def flip_image(image, bboxes=None, left_right=True, up_down=False):
     """Flip image (and boxes) on one or both axes."""
     image = np.asarray(image)

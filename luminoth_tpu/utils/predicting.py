@@ -19,9 +19,14 @@ from luminoth_tpu.datasets.object_detection_dataset import (
     pad_to_canvas,
     preprocess_image,
 )
-from luminoth_tpu.utils.image import settle_transfer_dtype
+from luminoth_tpu.utils.image import (
+    compose_scale,
+    fit_to_canvas,
+    settle_transfer_dtype,
+)
 from luminoth_tpu.models import get_model
 from luminoth_tpu.utils.config import to_plain
+from luminoth_tpu.utils.training import model_dtype
 
 logger = logging.getLogger(__name__)
 
@@ -72,11 +77,8 @@ class PredictorNetwork:
 
         warm_start()  # persistent compile cache + async first-fetch
         self._config = config
-        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
-            config.model.get("compute_dtype", "float32")
-        ]
         self._model = get_model(config.model.type)(
-            to_plain(config), dtype=dtype
+            to_plain(config), dtype=model_dtype(config)
         )
         self._canvas = canvas_shape(config)
         if variables is None:
@@ -135,7 +137,20 @@ class PredictorNetwork:
                 np.asarray(image), self._transfer_dtype
             )
             result = preprocess_image(self._config, arr)
-            padded, (h, w) = pad_to_canvas(result["image"], self._canvas)
+            im = result["image"]
+            if (
+                im.shape[0] > self._canvas[0]
+                or im.shape[1] > self._canvas[1]
+            ):
+                # Doesn't fit the compiled canvas (e.g. portrait image,
+                # landscape canvas): downscale rather than crop so no
+                # content is lost; fold the factor into scale_factor.
+                refit = fit_to_canvas(im, self._canvas)
+                im = refit["image"]
+                result["scale_factor"] = compose_scale(
+                    result["scale_factor"], refit["scale"]
+                )
+            padded, (h, w) = pad_to_canvas(im, self._canvas)
             padded_images.append(padded)
             shapes.append((float(h), float(w)))
             scales.append(result["scale_factor"])

@@ -6,9 +6,24 @@ reference: luminoth/utils/training.py:6-120 — same config surface
 state pytree and shards with it.
 """
 
+import jax.numpy as jnp
 import optax
 
 OPTIMIZERS = {"momentum", "adam", "gradient_descent", "rmsprop", "sgd"}
+
+
+def model_dtype(config):
+    """The model's compute dtype from ``model.compute_dtype``.
+
+    Single source of truth for the trainer, evaluator, and predictor.
+    """
+    name = config.model.get("compute_dtype", "float32")
+    try:
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+    except KeyError:
+        raise ValueError(
+            f"model.compute_dtype must be float32 or bfloat16, got {name!r}"
+        ) from None
 
 
 def get_learning_rate(train_config):

@@ -44,6 +44,14 @@ def test_merge_none_always_allowed():
     assert merged.x is None
 
 
+def test_merge_dict_over_none():
+    # An empty YAML section parses to None; a later file filling it in
+    # must deep-merge, not crash.
+    base = Config({"a": {"weights": None}})
+    merged = merge_into(Config({"a": {"weights": {"x": 1}}}), base)
+    assert merged.a.weights.x == 1
+
+
 def test_replace_subtree():
     base = Config({"optimizer": {"type": "momentum", "momentum": 0.9, "_replace": True}})
     new = Config({"optimizer": {"type": "adam"}})

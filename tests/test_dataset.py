@@ -176,6 +176,55 @@ class TestCanvasBuckets:
         assert all(s in ((64, 128), (128, 64), (128, 128)) for s in shapes)
 
 
+class TestNoFitDownscale:
+    def test_unfittable_image_downscaled_not_cropped(self, tmp_path):
+        """A portrait image with only a landscape canvas configured must
+        be downscaled to fit (with boxes rescaled), never cropped."""
+        path = tmp_path / "train.tfrecords"
+        with TFRecordWriter(str(path)) as w:
+            # 60x120 portrait with a box hugging the BOTTOM edge: a crop
+            # would remove it entirely.
+            w.write(
+                make_record(width=60, height=120, boxes=((10, 100, 50, 118, 1),))
+            )
+        cfg = ssd_like_config(str(tmp_path), batch_size=1)
+        cfg.dataset.image_preprocessing = Config(
+            {"canvas_height": 64, "canvas_width": 128}
+        )
+        ds = ObjectDetectionDataset(cfg, augment=False)
+        b = next(iter(ds))
+        assert b["image"].shape == (1, 64, 128, 3)
+        # fit = min(64/120, 128/60) = 0.5333 → 64x32 content region
+        np.testing.assert_allclose(
+            b["im_shape"][0], (64.0, 32.0), atol=1.0
+        )
+        gt = b["gt_boxes"][0, 0]
+        assert gt[4] == 1  # the box survived
+        # y2 scaled into the content region, not cropped away
+        assert 50.0 <= gt[3] <= 64.0
+        assert gt[2] <= 32.0
+
+    def test_prefetch_worker_stops_on_abandon(self, tmp_path):
+        """Breaking out of the batch loop must not leave the prefetch
+        worker pinned on a full queue."""
+        import threading
+        import time as _time
+
+        data_dir = write_split(tmp_path, n=30)
+        cfg = ssd_like_config(data_dir, batch_size=1)
+        ds = ObjectDetectionDataset(cfg, augment=False, prefetch_batches=1)
+        before = threading.active_count()
+        it = iter(ds)
+        next(it)
+        it.close()  # abandon mid-stream (what `break` does at GC time)
+        deadline = _time.time() + 5.0
+        while _time.time() < deadline:
+            if threading.active_count() <= before:
+                break
+            _time.sleep(0.05)
+        assert threading.active_count() <= before
+
+
 class TestUint8Transfer:
     def test_uint8_batches(self, tmp_path):
         data_dir = write_split(tmp_path, n=4)

@@ -32,6 +32,14 @@ class TestCalculateMetrics:
         np.testing.assert_allclose(ap, 1.0, atol=0.01)
         np.testing.assert_allclose(ar, 1.0)
 
+    def test_zero_batches(self):
+        # An empty split (or max_batches=0) must report zero metrics,
+        # not crash on zip(*[]).
+        out = make_output([], [])
+        ap, ar = calculate_metrics(out, num_classes=3)
+        np.testing.assert_allclose(ap, 0.0)
+        np.testing.assert_allclose(ar, 0.0)
+
     def test_completely_missed(self):
         out = make_output(
             [([BOX_FAR], [0], [0.9])],
