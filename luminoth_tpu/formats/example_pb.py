@@ -44,11 +44,22 @@ def _write_len_delimited(out, field_number, payload):
     out.extend(payload)
 
 
+def _is_float(v):
+    # np.float32 is NOT a python-float subclass (np.float64 is); an
+    # isinstance(v, float) check would silently route float32 values to
+    # the Int64List branch, truncating them to zeros on the wire.
+    import numbers
+
+    return isinstance(v, numbers.Real) and not isinstance(
+        v, numbers.Integral
+    )
+
+
 def encode_feature(value):
     """Encode one Feature from a python value.
 
     bytes / list[bytes] → BytesList; float / list[float] → FloatList;
-    int / list[int] → Int64List.
+    int / list[int] → Int64List (bools count as ints).
     """
     if not isinstance(value, (list, tuple)):
         value = [value]
@@ -59,8 +70,8 @@ def encode_feature(value):
                 v = v.encode("utf-8")
             _write_len_delimited(inner, 1, v)
         kind = 1
-    elif len(value) and isinstance(value[0], float):
-        packed = struct.pack(f"<{len(value)}f", *value)
+    elif len(value) and _is_float(value[0]):
+        packed = struct.pack(f"<{len(value)}f", *(float(v) for v in value))
         _write_len_delimited(inner, 1, packed)
         kind = 2
     else:

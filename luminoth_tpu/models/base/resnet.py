@@ -29,7 +29,8 @@ RESNET_BLOCK_DEFS = {
 }
 
 
-def conv2d_same(x, features, kernel_size, stride, rate, name, dtype):
+def conv2d_same(x, features, kernel_size, stride, rate, name, dtype,
+                use_bias=False):
     """TF-slim ``conv2d_same``: explicit pad + VALID for strided convs."""
     if stride == 1:
         return nn.Conv(
@@ -38,7 +39,7 @@ def conv2d_same(x, features, kernel_size, stride, rate, name, dtype):
             strides=(1, 1),
             kernel_dilation=(rate, rate),
             padding="SAME",
-            use_bias=False,
+            use_bias=use_bias,
             dtype=dtype,
             name=name,
         )(x)
@@ -53,7 +54,7 @@ def conv2d_same(x, features, kernel_size, stride, rate, name, dtype):
         strides=(stride, stride),
         kernel_dilation=(rate, rate),
         padding="VALID",
-        use_bias=False,
+        use_bias=use_bias,
         dtype=dtype,
         name=name,
     )(x)
@@ -158,11 +159,15 @@ class BottleneckV2(nn.Module):
                     x, (1, 1), strides=(self.stride, self.stride), padding="VALID"
                 )
         else:
+            # slim builds the v2 shortcut/conv3 with normalizer_fn=None,
+            # which leaves the default bias on — the pretrained
+            # checkpoints carry those biases (unlike v1, where BatchNorm
+            # replaces them).
             shortcut = nn.Conv(
                 self.depth,
                 (1, 1),
                 strides=(self.stride, self.stride),
-                use_bias=False,
+                use_bias=True,
                 dtype=self.dtype,
                 name="shortcut",
             )(preact)
@@ -182,7 +187,7 @@ class BottleneckV2(nn.Module):
         residual = nn.relu(residual)
 
         residual = nn.Conv(
-            self.depth, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
+            self.depth, (1, 1), use_bias=True, dtype=self.dtype, name="conv3"
         )(residual)
 
         return shortcut + residual
@@ -264,7 +269,11 @@ class ResNet(nn.Module):
         endpoints = {}
 
         x = x.astype(self.dtype)
-        x = conv2d_same(x, 64, 7, 2, 1, "conv1", self.dtype)
+        # v2's root conv has no normalizer in slim, so it carries a bias.
+        x = conv2d_same(
+            x, 64, 7, 2, 1, "conv1", self.dtype,
+            use_bias=self.version == 2,
+        )
         if self.version == 1:
             x = _BatchNorm(self.train_bn, self.dtype, name="conv1_bn")(x)
             x = nn.relu(x)

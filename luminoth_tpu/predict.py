@@ -86,12 +86,18 @@ def predict_image_batch(network, paths, only_classes=None,
             except Exception as e:
                 logger.exception("Error reading %s: %s", path, e)
         kept = [p for p in group if p in images]
-        results = (
-            network.predict_batch(
-                [images[p] for p in kept], pad_to=batch_size
+        try:
+            results = (
+                network.predict_batch(
+                    [images[p] for p in kept], pad_to=batch_size
+                )
+                if kept else []
             )
-            if kept else []
-        )
+        except Exception as e:
+            # Per-group tolerance, matching the sequential path's
+            # per-file handling: log and keep going.
+            logger.exception("Error predicting batch %s: %s", kept, e)
+            results = []
         by_path = dict(zip(kept, results))
         for path in group:
             objects = by_path.get(path)
@@ -221,7 +227,8 @@ def predict(path_or_dir, config_files, checkpoint, override_params,
                    "`accurate`.")
         from luminoth_tpu.tools.checkpoint import get_checkpoint_config
 
-        config = get_checkpoint_config("accurate")
+        checkpoint = "accurate"  # also resolves class labels below
+        config = get_checkpoint_config(checkpoint)
 
     if override_params:
         config = override_config_params(config, override_params)

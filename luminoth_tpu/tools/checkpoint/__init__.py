@@ -119,6 +119,25 @@ def fetch_remote_index():
     return db
 
 
+def safe_extractall(tar, dest):
+    """``extractall`` with the "data" safety filter where available.
+
+    The ``filter=`` kwarg only exists from Python 3.10.12 / 3.11.4;
+    older patch releases fall back to a manual member-path check.
+    """
+    try:
+        tar.extractall(dest, filter="data")
+    except TypeError:
+        base = os.path.realpath(dest)
+        for member in tar.getmembers():
+            target = os.path.realpath(os.path.join(dest, member.name))
+            if target != base and not target.startswith(base + os.sep):
+                raise RuntimeError(
+                    f"tar member escapes destination: {member.name}"
+                )
+        tar.extractall(dest)
+
+
 def download_remote_checkpoint(db, entry):
     """Download and unpack a remote checkpoint tarball."""
     import urllib.request
@@ -131,7 +150,18 @@ def download_remote_checkpoint(db, entry):
         with open(tar_path, "wb") as f:
             shutil.copyfileobj(resp, f)
     with tarfile.open(tar_path) as tar:
-        tar.extractall(target, filter="data")
+        names = [n for n in tar.getnames() if n != "checkpoint.tar"]
+        rooted = bool(names) and all(
+            n == entry["id"] or n.startswith(entry["id"] + "/")
+            for n in names
+        )
+        # export() bundles members under an <id>/ root; extract those
+        # into the checkpoints parent so the bundle lands at
+        # checkpoints/<id>/ instead of double-nesting. Flat tars
+        # (config.yml at the root) extract straight into the target.
+        safe_extractall(
+            tar, os.path.dirname(target) if rooted else target
+        )
     os.remove(tar_path)
     entry["status"] = "DOWNLOADED"
     merge_into_db(db, entry)
@@ -430,7 +460,7 @@ def import_(path):
     with tarfile.open(path) as tar:
         names = tar.getnames()
         root = names[0].split("/")[0]
-        tar.extractall(get_checkpoints_directory(), filter="data")
+        safe_extractall(tar, get_checkpoints_directory())
     bundle = os.path.join(get_checkpoints_directory(), root)
     metadata_path = os.path.join(bundle, "metadata.json")
     if os.path.exists(metadata_path):

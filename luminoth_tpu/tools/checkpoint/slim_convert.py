@@ -95,6 +95,12 @@ def convert_slim_resnet(read_tensor, architecture, scope="base_network"):
     if version == 1:
         _bn(flat, read_tensor, f"{root}/conv1_bn",
             f"{architecture}/conv1/BatchNorm")
+    else:
+        # v2's normalizer-free convs (root conv1, unit conv3, shortcut)
+        # carry biases in slim checkpoints.
+        flat[f"params/{root}/conv1/bias"] = _get(
+            read_tensor, f"{architecture}/conv1/biases"
+        )
 
     for b, (_, num_units, _) in enumerate(block_defs, start=1):
         for u in range(1, num_units + 1):
@@ -112,9 +118,14 @@ def convert_slim_resnet(read_tensor, architecture, scope="base_network"):
                         read_tensor, f"{slim_unit}/conv{k}/weights"
                     )
                     if version == 1 or k < 3:
-                        # v2 conv3 has no normalizer (pre-activation).
+                        # v2 conv3 has no normalizer (pre-activation)...
                         _bn(flat, read_tensor, f"{fprefix}/conv{k}_bn",
                             f"{slim_unit}/conv{k}/BatchNorm")
+                    else:
+                        # ...so it carries a bias instead.
+                        flat[f"params/{fprefix}/conv3/bias"] = _get(
+                            read_tensor, f"{slim_unit}/conv3/biases"
+                        )
                 if read_tensor(f"{slim_unit}/shortcut/weights") is not None:
                     flat[f"params/{fprefix}/shortcut/kernel"] = _get(
                         read_tensor, f"{slim_unit}/shortcut/weights"
@@ -122,6 +133,10 @@ def convert_slim_resnet(read_tensor, architecture, scope="base_network"):
                     if version == 1:
                         _bn(flat, read_tensor, f"{fprefix}/shortcut_bn",
                             f"{slim_unit}/shortcut/BatchNorm")
+                    else:
+                        flat[f"params/{fprefix}/shortcut/bias"] = _get(
+                            read_tensor, f"{slim_unit}/shortcut/biases"
+                        )
                 if version == 2:
                     _bn(flat, read_tensor, f"{fprefix}/preact",
                         f"{architecture}/block{b}/unit_{u}/"
@@ -214,8 +229,10 @@ def download_slim_backbone(architecture, dest_dir=None):
                         break
                     f.write(chunk)
         os.replace(tar_path + ".tmp", tar_path)
+    from luminoth_tpu.tools.checkpoint import safe_extractall
+
     with tarfile.open(tar_path) as tar:
-        tar.extractall(dest_dir, filter="data")
+        safe_extractall(tar, dest_dir)
     base = "vgg_16" if "vgg" in architecture else architecture
     ckpt = os.path.join(dest_dir, f"{base}.ckpt")
     if not os.path.exists(ckpt):

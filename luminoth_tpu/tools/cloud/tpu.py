@@ -230,16 +230,26 @@ def jobs(zone, dry_run):
 @click.option("--zone", default="us-central1-a")
 @click.option("--dry-run", is_flag=True)
 def logs(name, zone, dry_run):
-    result = _run(
-        [
-            "gcloud", "compute", "tpus", "tpu-vm", "ssh", name,
-            f"--zone={zone}", "--command",
-            "tail -f ~/lumi-*.log 2>/dev/null || tail -f ~/nohup.out",
-        ],
-        dry_run=dry_run,
-    )
-    if result is not None:
-        click.echo(result.stdout)
+    # Stream (inherit stdout/stderr) rather than capture: the remote
+    # command is a `tail -f` that never exits, so a captured run would
+    # block forever printing nothing. Ctrl-C ends the tail.
+    cmd = [
+        "gcloud", "compute", "tpus", "tpu-vm", "ssh", name,
+        f"--zone={zone}", "--command",
+        "tail -f ~/lumi-*.log 2>/dev/null || tail -f ~/nohup.out",
+    ]
+    click.echo("$ " + " ".join(shlex.quote(c) for c in cmd))
+    if dry_run:
+        return
+    try:
+        subprocess.run(cmd, check=False)
+    except FileNotFoundError:
+        raise click.ClickException(
+            "`gcloud` CLI not found; install the Google Cloud SDK or use "
+            "`lumi cloud tpu spec` to generate the commands."
+        )
+    except KeyboardInterrupt:
+        pass
 
 
 @tpu.command(help="Delete a TPU VM.")

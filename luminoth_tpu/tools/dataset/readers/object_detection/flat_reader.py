@@ -66,7 +66,9 @@ class FlatReader(ObjectDetectionReader):
         for _, ann_path in self._annotated:
             for obj in self._read_objects(ann_path):
                 classes.add(obj.get("label", self._default_class))
-        return sorted(classes)
+        # key=str: labels may mix ints (default_class fallback)
+        # and strings; a plain sort would raise TypeError.
+        return sorted(classes, key=str)
 
     def _read_objects(self, ann_path):
         try:

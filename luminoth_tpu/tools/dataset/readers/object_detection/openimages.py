@@ -147,6 +147,23 @@ class OpenImagesReader(ObjectDetectionReader):
         for t in threads:
             t.start()
 
+        stopped = False
+
+        def drain_work_queue():
+            # Stop condition reached (limits/quotas met): throw away the
+            # queued ids so workers hit their sentinels next — without
+            # this, the 25 download threads would keep fetching every
+            # remaining image (potentially the whole split) before
+            # iterate() could return.
+            try:
+                while True:
+                    item = work.get_nowait()
+                    if item is sentinel:
+                        work.put(item)  # keep worker shutdown signals
+                        break
+            except queue.Empty:
+                pass
+
         finished_workers = 0
         while finished_workers < self._download_threads:
             item = results.get()
@@ -155,7 +172,10 @@ class OpenImagesReader(ObjectDetectionReader):
                 continue
             image_id, image_raw = item
             if self._stop_iteration():
-                continue  # drain remaining results
+                if not stopped:
+                    stopped = True
+                    drain_work_queue()
+                continue  # drain in-flight results
             if image_raw is None:
                 self.errors += 1
                 continue

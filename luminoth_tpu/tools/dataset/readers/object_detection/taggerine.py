@@ -84,12 +84,15 @@ class TaggerineReader(ObjectDetectionReader):
         return len(self.annotations)
 
     def get_classes(self):
+        # key=str: labels may mix ints (default_class fallback) and
+        # strings; a plain sort would raise TypeError.
         return sorted(
             {
                 b.get("label", self._default_class)
                 for r in self.annotations
                 for b in r["gt_boxes"]
-            }
+            },
+            key=str,
         )
 
     @staticmethod

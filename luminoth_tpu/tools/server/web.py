@@ -39,7 +39,13 @@ def _parse_multipart(body, content_type):
     image_bytes = None
     params = {}
     for part in body.split(boundary):
-        part = part.strip(b"\r\n")
+        # Trim exactly the framing CRLFs (one each side) — a blanket
+        # strip(b"\r\n") would eat real payload bytes from binary
+        # content that happens to start/end with 0x0D/0x0A.
+        if part.startswith(b"\r\n"):
+            part = part[2:]
+        if part.endswith(b"\r\n"):
+            part = part[:-2]
         if not part or part == b"--":
             continue
         header_blob, _, content = part.partition(b"\r\n\r\n")
@@ -129,6 +135,10 @@ class Handler(BaseHTTPRequestHandler):
             return
 
         objects = PREDICTOR_NETWORK.predict_image(image)
+        # No server-side floor by default: the frontend slider filters
+        # client-side (reference web.py:96-104 ships every detection
+        # above the forced 0.01 config threshold). API callers can pass
+        # a min_prob form field to filter server-side.
         min_prob = float(params.get("min_prob", 0) or 0)
         if min_prob:
             objects = [o for o in objects if o["prob"] >= min_prob]
@@ -178,12 +188,8 @@ def run_server(config, class_labels=None, host="127.0.0.1", port=5000,
     help="Override model config params.")
 @click.option("--host", default="127.0.0.1", help="Hostname to listen on.")
 @click.option("--port", default=5000, type=int, help="Port to listen to.")
-@click.option(
-    "--min-prob", default=0.5, type=float,
-    help="Only get bounding boxes with probability larger than.")
 @click.option("--debug", is_flag=True, help="Set debug level logging.")
-def web(config_files, checkpoint, override_params, host, port, min_prob,
-        debug):
+def web(config_files, checkpoint, override_params, host, port, debug):
     logging.basicConfig(level=logging.DEBUG if debug else logging.INFO)
 
     if config_files:

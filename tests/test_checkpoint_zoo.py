@@ -137,3 +137,46 @@ def test_zoo_lifecycle(zoo_env, tmp_path):
     assert db["checkpoints"][0]["id"] == entry["id"]
     cfg = get_checkpoint_config(entry["id"], prompt=False)
     assert cfg.model.type == "fasterrcnn"
+
+
+def test_download_remote_checkpoint_unpacks_export_bundle(zoo_env, tmp_path):
+    """`lumi checkpoint download` must land an export-produced tar at
+    checkpoints/<id>/config.yml, not double-nest it under <id>/<id>/."""
+    from luminoth_tpu.tools.checkpoint import (
+        checkpoint,
+        download_remote_checkpoint,
+        get_checkpoint_config,
+        get_checkpoint_path,
+        read_checkpoint_db,
+    )
+
+    config_path = make_fake_run(zoo_env)
+    runner = CliRunner()
+    result = runner.invoke(
+        checkpoint, ["create", config_path, "--alias", "remoteme"]
+    )
+    assert result.exit_code == 0, result.output
+    entry = read_checkpoint_db()["checkpoints"][0]
+
+    out_dir = str(tmp_path / "remote")
+    os.makedirs(out_dir, exist_ok=True)
+    result = runner.invoke(
+        checkpoint, ["export", "remoteme", "--output", out_dir]
+    )
+    assert result.exit_code == 0, result.output
+    tar_path = os.path.join(out_dir, f"{entry['id']}.tar")
+
+    # Wipe the local copy, then "download" the bundle via a file:// URL.
+    runner.invoke(checkpoint, ["delete", "remoteme"])
+    db = read_checkpoint_db()
+    remote_entry = dict(
+        entry, url=f"file://{tar_path}", source="remote",
+        status="NOT_DOWNLOADED",
+    )
+    download_remote_checkpoint(db, remote_entry)
+
+    bundle = get_checkpoint_path(entry["id"])
+    assert os.path.exists(os.path.join(bundle, "config.yml"))
+    assert not os.path.isdir(os.path.join(bundle, entry["id"]))
+    cfg = get_checkpoint_config(entry["id"], prompt=False)
+    assert cfg.model.type == "fasterrcnn"

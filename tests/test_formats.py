@@ -98,3 +98,16 @@ class TestExampleCodec:
         buf = encode_sequence_example({}, {"s": [[0.5], [1.25]]})
         _, fl = decode_sequence_example(buf)
         assert fl["s"] == [[0.5], [1.25]]
+
+    def test_numpy_float32_encodes_as_float_list(self):
+        # np.float32 is not a python-float subclass; a naive isinstance
+        # check would truncate these to Int64List zeros on the wire.
+        values = list(np.asarray([0.7, 0.2], np.float32))
+        buf = encode_example({"scores": values})
+        np.testing.assert_allclose(
+            decode_example(buf)["scores"], [0.7, 0.2], rtol=1e-6
+        )
+
+    def test_numpy_int_encodes_as_int64(self):
+        buf = encode_example({"v": list(np.asarray([3, -2], np.int64))})
+        assert decode_example(buf)["v"] == [3, -2]

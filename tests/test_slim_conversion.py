@@ -81,6 +81,58 @@ def make_slim_resnet_values(depth=50, seed=0):
     return arch, vals
 
 
+def make_slim_resnet_v2_values(depth=50, seed=0):
+    """Random values under the exact slim resnet_v2 variable names.
+
+    v2's normalizer-free convs (root conv1, unit conv3, shortcut) carry
+    biases; units carry a preact BN; the trunk ends with postnorm.
+    """
+    rng = np.random.RandomState(seed)
+    arch = f"resnet_v2_{depth}"
+    vals = {}
+
+    def conv(name, h, w, cin, cout):
+        vals[name] = (rng.randn(h, w, cin, cout) * 0.05).astype(np.float32)
+
+    def bias(name, c):
+        vals[name] = (0.1 * rng.randn(c)).astype(np.float32)
+
+    def bn(prefix, c):
+        vals[f"{prefix}/gamma"] = (
+            1.0 + 0.2 * rng.randn(c)
+        ).astype(np.float32)
+        vals[f"{prefix}/beta"] = (0.1 * rng.randn(c)).astype(np.float32)
+        vals[f"{prefix}/moving_mean"] = (
+            0.1 * rng.randn(c)
+        ).astype(np.float32)
+        vals[f"{prefix}/moving_variance"] = (
+            0.75 + 0.5 * rng.rand(c)
+        ).astype(np.float32)
+
+    conv(f"{arch}/conv1/weights", 7, 7, 3, 64)
+    bias(f"{arch}/conv1/biases", 64)
+    in_c = 64
+    for b, (base, num_units, _) in enumerate(RESNET_BLOCK_DEFS[depth], 1):
+        out_c = base * 4
+        for u in range(1, num_units + 1):
+            p = f"{arch}/block{b}/unit_{u}/bottleneck_v2"
+            bn(f"{p}/preact", in_c)
+            if in_c != out_c:
+                conv(f"{p}/shortcut/weights", 1, 1, in_c, out_c)
+                bias(f"{p}/shortcut/biases", out_c)
+            conv(f"{p}/conv1/weights", 1, 1, in_c, base)
+            bn(f"{p}/conv1/BatchNorm", base)
+            conv(f"{p}/conv2/weights", 3, 3, base, base)
+            bn(f"{p}/conv2/BatchNorm", base)
+            conv(f"{p}/conv3/weights", 1, 1, base, out_c)
+            bias(f"{p}/conv3/biases", out_c)
+            in_c = out_c
+    bn(f"{arch}/postnorm", in_c)
+    conv(f"{arch}/logits/weights", 1, 1, in_c, 1000)
+    vals[f"{arch}/logits/biases"] = np.zeros(1000, np.float32)
+    return arch, vals
+
+
 def make_slim_vgg_values(seed=0):
     rng = np.random.RandomState(seed)
     vals = {}
@@ -194,6 +246,63 @@ def tf_slim_resnet_v1_forward(x, vals, arch, depth, output_stride=None):
     return outs
 
 
+def tf_slim_resnet_v2_forward(x, vals, arch, depth, output_stride=None):
+    """Hand-written TF forward with slim resnet_v2 semantics:
+    pre-activation units, biased normalizer-free convs, final postnorm."""
+    x = tf.constant(x)
+    x = _tf_conv_same(x, vals[f"{arch}/conv1/weights"], 2)
+    x = tf.nn.bias_add(x, vals[f"{arch}/conv1/biases"])
+    x = tf.nn.max_pool2d(x, 3, 2, "VALID")
+
+    current_stride, rate = 4, 1
+    outs = {}
+    for b, (base, num_units, block_stride) in enumerate(
+        RESNET_BLOCK_DEFS[depth], 1
+    ):
+        for u in range(1, num_units + 1):
+            unit_stride = block_stride if u == num_units else 1
+            if output_stride is not None and current_stride == output_stride:
+                unit_rate, eff_stride = rate, 1
+                rate *= unit_stride
+            else:
+                unit_rate, eff_stride = 1, unit_stride
+                current_stride *= unit_stride
+
+            p = f"{arch}/block{b}/unit_{u}/bottleneck_v2"
+            out_c = base * 4
+            preact = tf.nn.relu(_tf_bn(x, vals, f"{p}/preact"))
+            if int(x.shape[-1]) == out_c:
+                shortcut = (
+                    x if eff_stride == 1
+                    else tf.nn.max_pool2d(x, 1, eff_stride, "VALID")
+                )
+            else:
+                shortcut = tf.nn.conv2d(
+                    preact, vals[f"{p}/shortcut/weights"], eff_stride,
+                    "SAME",
+                )
+                shortcut = tf.nn.bias_add(
+                    shortcut, vals[f"{p}/shortcut/biases"]
+                )
+            r = tf.nn.relu(_tf_bn(
+                tf.nn.conv2d(preact, vals[f"{p}/conv1/weights"], 1, "SAME"),
+                vals, f"{p}/conv1/BatchNorm",
+            ))
+            r = tf.nn.relu(_tf_bn(
+                _tf_conv_same(r, vals[f"{p}/conv2/weights"], eff_stride,
+                              unit_rate),
+                vals, f"{p}/conv2/BatchNorm",
+            ))
+            r = tf.nn.conv2d(r, vals[f"{p}/conv3/weights"], 1, "SAME")
+            r = tf.nn.bias_add(r, vals[f"{p}/conv3/biases"])
+            x = shortcut + r
+        outs[f"block{b}"] = x.numpy()
+    outs["postnorm"] = tf.nn.relu(
+        _tf_bn(x, vals, f"{arch}/postnorm")
+    ).numpy()
+    return outs
+
+
 def tf_slim_vgg_forward(x, vals):
     x = tf.constant(x)
     stages = [(1, 2), (2, 2), (3, 3), (4, 3), (5, 3)]
@@ -301,6 +410,41 @@ class TestSlimResNetConversion:
             "params/base_network_tail/resnet_v1_50/block4/unit_1/conv1/kernel"
             in flat
         )
+
+
+class TestSlimResNetV2Conversion:
+    def test_trunk_matches_slim_v2_forward(self, tmp_path):
+        """Full v2 chain incl. the normalizer-free conv biases (root
+        conv1 / unit conv3 / shortcut) that v1 doesn't have."""
+        arch, vals = make_slim_resnet_v2_values(50)
+        ckpt = save_slim_checkpoint(vals, str(tmp_path / "resnet_v2_50.ckpt"))
+        npz = str(tmp_path / "v2.npz")
+        convert_slim_checkpoint_file(ckpt, npz, "resnet_v2_50")
+        with np.load(npz, allow_pickle=False) as data:
+            flat = {k: data[k] for k in data.files}
+
+        rng = np.random.RandomState(4)
+        x = rng.randn(1, 65, 63, 3).astype(np.float32)
+        golden = tf_slim_resnet_v2_forward(x, vals, arch, 50)
+
+        net = ResNet(depth=50, version=2)
+        variables, n_p, n_s = _merged_variables(
+            net, x, flat, "base_network/resnet_v2_50/"
+        )
+        # Full coverage: every flax param (incl. the biases) converted.
+        assert n_p == len(jax.tree_util.tree_leaves(variables["params"]))
+        assert n_s == len(
+            jax.tree_util.tree_leaves(variables["batch_stats"])
+        )
+        _, endpoints = net.apply(variables, jnp.asarray(x))
+        for block, rtol in (
+            ("block1", 2e-4), ("block2", 2e-4),
+            ("block3", 5e-4), ("block4", 2e-3), ("postnorm", 2e-3),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(endpoints[block]), golden[block],
+                rtol=rtol, atol=5e-4, err_msg=block,
+            )
 
 
 class TestSlimVGGConversion:

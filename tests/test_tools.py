@@ -169,6 +169,31 @@ class TestImageVis:
         assert out["draw_object_predictions"].max() > 0
 
 
+class TestMultipartParser:
+    def test_preserves_crlf_edges_in_binary_payload(self):
+        # Payload starting with CRLF / ending with LF must survive: only
+        # the single framing CRLF on each side may be trimmed.
+        from luminoth_tpu.tools.server.web import _parse_multipart
+
+        payload = b"\r\nBINARY\x0d\x0a"
+        body = (
+            b"--XYZ\r\n"
+            b'Content-Disposition: form-data; name="image"; '
+            b'filename="f.bin"\r\n'
+            b"Content-Type: application/octet-stream\r\n\r\n"
+            + payload
+            + b"\r\n--XYZ\r\n"
+            b'Content-Disposition: form-data; name="min_prob"\r\n\r\n'
+            b"0.25\r\n"
+            b"--XYZ--\r\n"
+        )
+        image, params = _parse_multipart(
+            body, "multipart/form-data; boundary=XYZ"
+        )
+        assert image == payload
+        assert params == {"min_prob": "0.25"}
+
+
 class TestServer:
     def test_web_server_predict_endpoint(self, tmp_path):
         """Spin up the server with a stubbed network and POST an image."""
