@@ -98,6 +98,22 @@ class TestPatch:
         assert out["image"].shape == (40, 60, 3)
         assert out["bboxes"].shape[1] == 5
 
+    def test_random_patch_min_larger_than_image(self):
+        # Reference testRandomPatchLargerThanImage: min dims above the
+        # image size clamp to the image instead of failing.
+        rng = np.random.RandomState(5)
+        out = random_patch(make_image(40, 60), BOXES, min_height=400,
+                           min_width=600, rng=rng)
+        assert out["image"].shape == (40, 60, 3)
+        assert out["bboxes"].shape[0] >= 1
+
+    def test_patch_without_boxes(self):
+        # Reference testRandomPatchOnlyImage: bboxes=None is supported.
+        out = patch_image(make_image(40, 60), None, offset_height=5,
+                          offset_width=5, target_height=20, target_width=30)
+        assert out["image"].shape == (40, 60, 3)
+        assert "bboxes" not in out
+
 
 class TestExpandAndDistort:
     def test_expand_shifts_boxes(self):
