@@ -28,6 +28,32 @@ def bbox_overlap(boxes1, boxes2):
     return iou
 
 
+def clip_boxes(boxes, image_shape):
+    """Clip xyxy boxes into the image (reference bbox_transform.py:105-122).
+
+    Coordinates clamp to ``[0, dim - 1]``; the label column (if any) is
+    untouched. Returns a new array.
+    """
+    boxes = np.asarray(boxes, dtype=np.float64).copy()
+    max_h = image_shape[0] - 1
+    max_w = image_shape[1] - 1
+    boxes[:, 0] = np.clip(boxes[:, 0], 0, max_w)
+    boxes[:, 1] = np.clip(boxes[:, 1], 0, max_h)
+    boxes[:, 2] = np.clip(boxes[:, 2], 0, max_w)
+    boxes[:, 3] = np.clip(boxes[:, 3], 0, max_h)
+    return boxes
+
+
+def unmap(data, count, inds, fill=0):
+    """Scatter a subset back to the full set frame
+    (reference bbox_transform.py:125-137): rows not in ``inds`` take
+    ``fill``."""
+    data = np.asarray(data)
+    ret = np.full((count,) + data.shape[1:], fill, dtype=np.float32)
+    ret[np.asarray(inds)] = data
+    return ret
+
+
 def encode(boxes, gt_boxes, variances=None):
     """Numpy twin of :func:`luminoth_tpu.ops.boxes.encode`."""
     boxes = np.asarray(boxes, dtype=np.float64)

@@ -30,8 +30,23 @@ class VarVisHook:
             for name, value in flat.items():
                 value = np.asarray(value)
                 if self._mode == "full":
+                    # The reference's full log level (utils/vars.py:20-45):
+                    # histogram + stddev/max/min/sparsity statistics.
                     self._writer.add_histogram(
                         f"variables/{name}", value, step
+                    )
+                    self._writer.add_scalar(
+                        f"variables/{name}/stddev", float(value.std()), step
+                    )
+                    self._writer.add_scalar(
+                        f"variables/{name}/max", float(value.max()), step
+                    )
+                    self._writer.add_scalar(
+                        f"variables/{name}/min", float(value.min()), step
+                    )
+                    self._writer.add_scalar(
+                        f"variables/{name}/sparsity",
+                        float((value == 0).mean()), step,
                     )
                 self._writer.add_scalar(
                     f"variables/{name}/mean", float(value.mean()), step

@@ -97,6 +97,20 @@ class TestClipChangeOrder:
             np.asarray(B.change_order(B.change_order(bxs))), np.asarray(bxs)
         )
 
+    def test_numpy_clip_matches_jax(self, rng):
+        bxs = rng.uniform(-30, 150, (12, 4)).astype(np.float32)
+        np.testing.assert_allclose(
+            NB.clip_boxes(bxs, (100, 110)),
+            np.asarray(B.clip_boxes(jnp.asarray(bxs), (100, 110))),
+            atol=1e-5,
+        )
+
+    def test_numpy_unmap(self):
+        out = NB.unmap(np.asarray([[1.0, 2.0]]), 3, [1], fill=-1)
+        np.testing.assert_allclose(out, [[-1, -1], [1, 2], [-1, -1]])
+        out1d = NB.unmap(np.asarray([7.0]), 3, [2], fill=0)
+        np.testing.assert_allclose(out1d, [0, 0, 7])
+
 
 class TestIoU:
     def test_known_values(self):
