@@ -62,8 +62,9 @@ def _roi_kernel(wy_ref, wx_ref, fmt_ref, out_ref, *, tile_r, s, pool):
         out_ref[0, j] = crop.astype(out_ref.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def roi_align_pallas(feature_map, wy, wx, crop_size, pool=True):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def roi_align_pallas(feature_map, wy, wx, crop_size, pool=True,
+                     interpret=False):
     """Differentiable wrapper — see :func:`_roi_align_impl`.
 
     Custom VJP because pallas_call has no autodiff rule: the crop is linear
@@ -75,15 +76,19 @@ def roi_align_pallas(feature_map, wy, wx, crop_size, pool=True):
     in the detector, matching the reference's design —
     fasterrcnn.py:147).
     """
-    return _roi_align_impl(feature_map, wy, wx, crop_size, pool=pool)
+    return _roi_align_impl(
+        feature_map, wy, wx, crop_size, pool=pool, interpret=interpret
+    )
 
 
-def _roi_align_fwd(feature_map, wy, wx, crop_size, pool):
-    out = _roi_align_impl(feature_map, wy, wx, crop_size, pool=pool)
+def _roi_align_fwd(feature_map, wy, wx, crop_size, pool, interpret):
+    out = _roi_align_impl(
+        feature_map, wy, wx, crop_size, pool=pool, interpret=interpret
+    )
     return out, (feature_map, wy, wx)
 
 
-def _roi_align_bwd(crop_size, pool, residuals, g):
+def _roi_align_bwd(crop_size, pool, interpret, residuals, g):
     feature_map, wy, wx = residuals
     unbatched = feature_map.ndim == 3
     if unbatched:
@@ -159,9 +164,10 @@ roi_align_pallas.defvjp(_roi_align_fwd, _roi_align_bwd)
 
 
 @partial(
-    jax.jit, static_argnames=("crop_size", "tile_r", "pool")
+    jax.jit, static_argnames=("crop_size", "tile_r", "pool", "interpret")
 )
-def _roi_align_impl(feature_map, wy, wx, crop_size, tile_r=8, pool=True):
+def _roi_align_impl(feature_map, wy, wx, crop_size, tile_r=8, pool=True,
+                    interpret=False):
     """Fused crop(+pool) over precomputed interpolation matrices.
 
     Batched natively: the grid is (batch, roi_tiles) — no vmap needed (and
@@ -245,6 +251,7 @@ def _roi_align_impl(feature_map, wy, wx, crop_size, tile_r=8, pool=True):
             ),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(wy, wx, fmt2d)
     out = out[:, :r]
     return out[0] if unbatched else out
