@@ -72,6 +72,48 @@ class TestForwardInterpret:
         )
 
 
+class TestBf16VJPInterpret:
+    def test_bf16_grad_matches_bf16_mimic(self, rng):
+        """On the bf16 path the backward recompute must pool the SAME
+        intermediate values as the forward kernel (wx contraction first,
+        f32 accumulator cast to bf16 before the wy contraction) — an f32
+        recompute can pick different window maxima near bf16 rounding."""
+        fm, boxes, wy, wx = make_inputs(rng, b=1, r=5)
+        fm16 = fm.astype(jnp.bfloat16)
+        cot = jnp.asarray(
+            rng.randn(1, 5, S // 2, S // 2, fm.shape[-1]).astype(np.float32)
+        )
+
+        def mimic(f):
+            # The kernel's exact arithmetic in plain XLA.
+            cols = jnp.einsum(
+                "brtw,bhwc->brthc", wx.astype(jnp.bfloat16), f,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+            crop = jnp.einsum(
+                "brsh,brthc->brstc", wy.astype(jnp.bfloat16), cols,
+                preferred_element_type=jnp.float32,
+            )
+            b, r = crop.shape[0], crop.shape[1]
+            c = crop.shape[-1]
+            win = crop.reshape(b, r, S // 2, 2, S // 2, 2, c)
+            return jnp.vdot(jnp.max(win, axis=(3, 5)), cot)
+
+        def via_kernel(f):
+            return jnp.vdot(
+                roi_align_pallas(f, wy, wx, S, True, True).astype(
+                    jnp.float32
+                ),
+                cot,
+            )
+
+        g_kernel = jax.grad(via_kernel)(fm16).astype(np.float32)
+        g_mimic = jax.grad(mimic)(fm16).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(g_kernel), np.asarray(g_mimic), atol=2e-2, rtol=2e-2
+        )
+
+
 class TestVJPInterpret:
     @pytest.mark.parametrize("pool", [True, False])
     def test_grad_matches_xla_autodiff(self, rng, pool):
