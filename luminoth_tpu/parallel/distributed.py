@@ -42,6 +42,25 @@ def initialize_from_env(environ=None):
     return True
 
 
+def sync_state_from_chief(state):
+    """Broadcast a (possibly checkpoint-restored) state from process 0.
+
+    Only the chief saves checkpoints (no shared filesystem is assumed
+    across TPU VM hosts), so after a restart the chief restores step-N
+    state while workers keep their fresh init. Replicated-sharding math
+    assumes identical values on every process; this makes that true —
+    values AND step, since a per-process step desynchronizes the epoch
+    end and hangs the next collective. No-op in single-process runs.
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return state
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(state)
+
+
 def worker_env(coordinator_host, coordinator_port, num_processes, process_id):
     """The env assignments a launcher must set on worker `process_id`."""
     return {

@@ -351,16 +351,9 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
         if restored is not None:
             state = restored
             logger.info("Resumed from step %d", int(state.step))
-        if jax.process_count() > 1:
-            # Only the chief saves (no shared filesystem assumed), so
-            # after a restart the chief restores step-N state while
-            # workers keep their fresh init — broadcast the chief's
-            # state so every process resumes identically (values AND
-            # step; a per-process step would desynchronize the epoch
-            # end and hang the collective).
-            from jax.experimental import multihost_utils
+        from luminoth_tpu.parallel.distributed import sync_state_from_chief
 
-            state = multihost_utils.broadcast_one_to_all(state)
+        state = sync_state_from_chief(state)
 
     writer = None
     if not no_log and is_chief:

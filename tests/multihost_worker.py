@@ -93,6 +93,19 @@ def main():
         params, opt_state, loss = sharded(params, opt_state, xg, yg)
         losses.append(float(loss))
 
+    # Simulate a post-restart resume: only the chief restored step-N
+    # state from its checkpoint (no shared filesystem), workers still
+    # hold fresh init. sync_state_from_chief must leave every process
+    # with the chief's values — and be a no-op in the single-process
+    # control run.
+    from luminoth_tpu.parallel.distributed import sync_state_from_chief
+
+    resume = {
+        "step": np.int32(7 if pid == 0 else 0),
+        "w": np.float32(1.5 if pid == 0 else -2.0),
+    }
+    resume = sync_state_from_chief(resume)
+
     print(json.dumps({
         "joined": joined,
         "process_id": pid,
@@ -101,6 +114,8 @@ def main():
         "local_devices": jax.local_device_count(),
         "is_chief": is_chief(),
         "losses": losses,
+        "resume_step": int(resume["step"]),
+        "resume_w": float(resume["w"]),
     }))
 
 

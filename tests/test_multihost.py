@@ -118,3 +118,9 @@ def test_two_process_dp_matches_single_process():
     np.testing.assert_allclose(w0["losses"], ctrl["losses"], rtol=1e-4)
     # And training is actually learning.
     assert w0["losses"][-1] < w0["losses"][0]
+
+    # Resume broadcast: every process ends with the chief's restored
+    # state (step AND values); single-process control is a no-op.
+    for res in results:
+        assert res["resume_step"] == 7
+        assert res["resume_w"] == pytest.approx(1.5)

@@ -50,7 +50,7 @@ def check(pool, seed=0):
     # Hand-written backward.
     wy, wx = interp_weights(boxes, fm.shape[0], fm.shape[1], crop_size)
     d_fm, d_wy, d_wx = _roi_align_bwd(
-        crop_size, pool, (fm, wy, wx), g
+        crop_size, pool, False, (fm, wy, wx), g
     )
     np.testing.assert_allclose(
         np.asarray(d_fm), np.asarray(want), atol=2e-4, rtol=1e-3
