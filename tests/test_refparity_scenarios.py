@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from luminoth_tpu.models.fasterrcnn.rcnn_proposal import rcnn_proposal
+from luminoth_tpu.utils.image import apply_data_augmentation, flip_image
 from luminoth_tpu.models.fasterrcnn.rcnn_target import rcnn_target_assign
 from luminoth_tpu.models.fasterrcnn.rpn_target import rpn_target_assign
 from luminoth_tpu.ops.boxes import encode
@@ -201,3 +202,46 @@ class TestRCNNProposalBboxPred:
         np.testing.assert_allclose(
             objects, class_boxes[[0, 2, 1]], atol=0.05
         )
+
+
+class TestAugmentationScenarios:
+    # reference: datasets/object_detection_dataset_test.py:48
+    # (testSortedAugmentation): strategies apply in configured order,
+    # each gated by its own prob.
+    def _inputs(self):
+        rng = np.random.RandomState(0)
+        image = rng.randint(0, 255, (60, 80, 3), np.uint8)
+        bboxes = np.asarray(
+            [[10, 10, 26, 28, 1], [10, 10, 20, 22, 1],
+             [10, 11, 20, 21, 1], [19, 30, 31, 33, 1]],
+            np.float32,
+        )
+        return image, bboxes
+
+    def test_sorted_augmentation(self):
+        image, bboxes = self._inputs()
+        rng = np.random.RandomState(1)
+        # prob 0 then prob 1: exactly one flip is applied.
+        out_im, out_bb = apply_data_augmentation(
+            [{"flip": {"prob": 0}}, {"flip": {"prob": 1}}],
+            image, bboxes, rng,
+        )
+        once = flip_image(image, bboxes=bboxes)
+        np.testing.assert_array_equal(out_im, once["image"])
+        np.testing.assert_allclose(out_bb, once["bboxes"])
+        # prob 1 twice: both apply, in order -> identity (next test).
+        out_im2, out_bb2 = apply_data_augmentation(
+            [{"flip": {"prob": 1}}, {"flip": {"prob": 1}}],
+            image, bboxes, rng,
+        )
+        np.testing.assert_array_equal(out_im2, image)
+        np.testing.assert_allclose(out_bb2, bboxes)
+
+    # reference: datasets/object_detection_dataset_test.py:71
+    # (testIdentityAugmentation): flip twice == original.
+    def test_flip_twice_is_identity(self):
+        image, bboxes = self._inputs()
+        first = flip_image(image, bboxes=bboxes)
+        second = flip_image(first["image"], bboxes=first["bboxes"])
+        np.testing.assert_array_equal(second["image"], image)
+        np.testing.assert_allclose(second["bboxes"], bboxes)
