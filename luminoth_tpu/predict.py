@@ -104,9 +104,18 @@ def predict_image_batch(network, paths, only_classes=None,
             if objects is None:
                 yield path, None
                 continue
-            objects = filter_classes(objects, only_classes, ignore_classes)
-            if save_paths.get(path):
-                vis_objects(images[path], objects).save(save_paths[path])
+            try:
+                objects = filter_classes(
+                    objects, only_classes, ignore_classes
+                )
+                if save_paths.get(path):
+                    vis_objects(images[path], objects).save(
+                        save_paths[path]
+                    )
+            except Exception as e:  # per-file tolerance, like sequential
+                logger.exception("Error processing %s: %s", path, e)
+                yield path, None
+                continue
             yield path, objects
 
 

@@ -128,14 +128,26 @@ def safe_extractall(tar, dest):
     try:
         tar.extractall(dest, filter="data")
     except TypeError:
-        base = os.path.realpath(dest)
-        for member in tar.getmembers():
-            target = os.path.realpath(os.path.join(dest, member.name))
-            if target != base and not target.startswith(base + os.sep):
-                raise RuntimeError(
-                    f"tar member escapes destination: {member.name}"
-                )
-        tar.extractall(dest)
+        _extractall_checked(tar, dest)
+
+
+def _extractall_checked(tar, dest):
+    """Manual stand-in for the "data" filter on old Pythons."""
+    base = os.path.realpath(dest)
+    for member in tar.getmembers():
+        # Links can alias paths that realpath cannot resolve until
+        # after extraction (symlink first, then a member routed
+        # through it) — the "data" filter rejects them, so must we.
+        if member.issym() or member.islnk():
+            raise RuntimeError(
+                f"tar member is a link (rejected): {member.name}"
+            )
+        target = os.path.realpath(os.path.join(dest, member.name))
+        if target != base and not target.startswith(base + os.sep):
+            raise RuntimeError(
+                f"tar member escapes destination: {member.name}"
+            )
+    tar.extractall(dest)
 
 
 def download_remote_checkpoint(db, entry):

@@ -29,11 +29,19 @@ DEFAULT_ACCELERATOR = "v5litepod-8"
 DEFAULT_VERSION = "tpu-ubuntu2204-base"
 
 
-def _run(cmd, dry_run=False):
+def _run(cmd, dry_run=False, stream=False):
+    """Echo + run a gcloud command.
+
+    ``stream=True`` inherits stdout/stderr and never raises on exit
+    status — for never-ending remote commands (``tail -f``) where a
+    captured run would block forever printing nothing.
+    """
     click.echo("$ " + " ".join(shlex.quote(c) for c in cmd))
     if dry_run:
         return None
     try:
+        if stream:
+            return subprocess.run(cmd, check=False)
         return subprocess.run(cmd, check=True, capture_output=True, text=True)
     except FileNotFoundError:
         raise click.ClickException(
@@ -230,24 +238,13 @@ def jobs(zone, dry_run):
 @click.option("--zone", default="us-central1-a")
 @click.option("--dry-run", is_flag=True)
 def logs(name, zone, dry_run):
-    # Stream (inherit stdout/stderr) rather than capture: the remote
-    # command is a `tail -f` that never exits, so a captured run would
-    # block forever printing nothing. Ctrl-C ends the tail.
     cmd = [
         "gcloud", "compute", "tpus", "tpu-vm", "ssh", name,
         f"--zone={zone}", "--command",
         "tail -f ~/lumi-*.log 2>/dev/null || tail -f ~/nohup.out",
     ]
-    click.echo("$ " + " ".join(shlex.quote(c) for c in cmd))
-    if dry_run:
-        return
     try:
-        subprocess.run(cmd, check=False)
-    except FileNotFoundError:
-        raise click.ClickException(
-            "`gcloud` CLI not found; install the Google Cloud SDK or use "
-            "`lumi cloud tpu spec` to generate the commands."
-        )
+        _run(cmd, dry_run=dry_run, stream=True)  # Ctrl-C ends the tail
     except KeyboardInterrupt:
         pass
 

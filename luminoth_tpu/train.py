@@ -44,6 +44,7 @@ from luminoth_tpu.utils.training import (
     build_trainable_mask,
     build_weight_decay_mask,
     get_optimizer,
+    model_dtype,
 )
 
 logger = logging.getLogger("luminoth_tpu.train")
@@ -55,11 +56,6 @@ class TrainState:
     params: Any
     opt_state: Any
     batch_stats: Any
-
-
-def _model_dtype(config):
-    name = config.model.get("compute_dtype", "float32")
-    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
 
 def init_model(model, config, batch_spec, rng):
@@ -259,7 +255,7 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
         # actually cuts peak HBM) plus the coarse step checkpoint below.
         config.model.base_network.remat = True
     model = get_model_fn(config.model.type)(
-        to_plain(config), dtype=_model_dtype(config)
+        to_plain(config), dtype=model_dtype(config)
     )
     dataset = get_dataset_fn(config.dataset.type)(config)
 

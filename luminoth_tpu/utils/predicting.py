@@ -145,7 +145,12 @@ class PredictorNetwork:
                 # Doesn't fit the compiled canvas (e.g. portrait image,
                 # landscape canvas): downscale rather than crop so no
                 # content is lost; fold the factor into scale_factor.
-                refit = fit_to_canvas(im, self._canvas)
+                refit = fit_to_canvas(
+                    im, self._canvas,
+                    method=self._config.dataset.image_preprocessing.get(
+                        "resize_method"
+                    ),
+                )
                 im = refit["image"]
                 result["scale_factor"] = compose_scale(
                     result["scale_factor"], refit["scale"]

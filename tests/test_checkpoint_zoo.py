@@ -180,3 +180,53 @@ def test_download_remote_checkpoint_unpacks_export_bundle(zoo_env, tmp_path):
     assert not os.path.isdir(os.path.join(bundle, entry["id"]))
     cfg = get_checkpoint_config(entry["id"], prompt=False)
     assert cfg.model.type == "fasterrcnn"
+
+
+def test_extractall_checked_rejects_escapes_and_links(tmp_path):
+    """The pre-3.10.12 fallback must reject both path traversal and link
+    members (a symlink extracted first can route a later member outside
+    the destination even though its realpath looks contained)."""
+    import io
+    import tarfile
+
+    from luminoth_tpu.tools.checkpoint import _extractall_checked
+
+    def make_tar(build):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            build(tar)
+        buf.seek(0)
+        return tarfile.open(fileobj=buf)
+
+    def add_file(tar, name, data=b"x"):
+        info = tarfile.TarInfo(name)
+        info.size = len(data)
+        tar.addfile(info, io.BytesIO(data))
+
+    dest = tmp_path / "out"
+    dest.mkdir()
+
+    # Plain traversal.
+    with make_tar(lambda t: add_file(t, "../evil")) as tar:
+        with pytest.raises(RuntimeError, match="escapes"):
+            _extractall_checked(tar, str(dest))
+
+    # Symlink member, then a file routed through it: the file's
+    # realpath cannot resolve the (not yet extracted) link, so only the
+    # link rejection catches it.
+    def build_linked(tar):
+        link = tarfile.TarInfo("lnk")
+        link.type = tarfile.SYMTYPE
+        link.linkname = str(tmp_path / "outside")
+        tar.addfile(link)
+        add_file(tar, "lnk/through")
+
+    with make_tar(build_linked) as tar:
+        with pytest.raises(RuntimeError, match="link"):
+            _extractall_checked(tar, str(dest))
+    assert not (tmp_path / "outside").exists()
+
+    # Benign archive extracts fine.
+    with make_tar(lambda t: add_file(t, "sub/ok.txt", b"hello")) as tar:
+        _extractall_checked(tar, str(dest))
+    assert (dest / "sub" / "ok.txt").read_bytes() == b"hello"
