@@ -103,12 +103,6 @@ def change_order(boxes):
     return jnp.concatenate([b, a, d, c], axis=-1)
 
 
-def area(boxes):
-    """Box areas with +1 pixel convention, shape (..., N)."""
-    x1, y1, x2, y2 = split_corners(boxes)
-    return ((x2 - x1 + 1.0) * (y2 - y1 + 1.0))[..., 0]
-
-
 def iou_matrix(boxes1, boxes2, offset=1.0):
     """Pairwise IoU between two box sets.
 

@@ -73,9 +73,12 @@ def _default_block(n):
     return min(128, n)
 
 
-@partial(jax.jit, static_argnames=("max_outputs", "block_size"))
-def nms_padded(boxes, scores, iou_threshold, max_outputs, valid=None, block_size=None):
+def nms_padded(boxes, scores, iou_threshold, max_outputs, valid=None,
+               block_size=None):
     """Greedy NMS over a fixed-size candidate set.
+
+    Single-group convenience wrapper over :func:`nms_padded_batch` (one
+    shared implementation — including the TPU kernel path).
 
     Args:
         boxes: (N, 4) xyxy boxes (padding rows arbitrary).
@@ -92,33 +95,12 @@ def nms_padded(boxes, scores, iou_threshold, max_outputs, valid=None, block_size
         (un-suppressed, valid) detections. Indices of masked-out slots point
         at arbitrary rows and must not be used.
     """
-    n = boxes.shape[0]
-    scores = scores.astype(jnp.float32)
-    if valid is None:
-        valid = jnp.ones((n,), dtype=bool)
-
-    masked_scores = jnp.where(valid, scores, NEG_INF)
-    order = jnp.argsort(-masked_scores, stable=True)
-    boxes_s = boxes[order]
-    valid_s = valid[order]
-
-    if block_size is None:
-        block_size = _default_block(n)
-    block = min(block_size, n)
-    alive = _alive_sorted_xla(boxes_s, valid_s, iou_threshold, block)
-    alive = alive[:n]
-
-    # Survivors in score order: top max_outputs alive entries.
-    alive_scores = jnp.where(alive, masked_scores[order[:n]], NEG_INF)
-    top_scores, top_pos = jax.lax.top_k(alive_scores, min(max_outputs, n))
-    keep_mask = top_scores > NEG_INF
-    indices = order[top_pos]
-
-    if max_outputs > n:
-        extra = max_outputs - n
-        indices = jnp.pad(indices, (0, extra))
-        keep_mask = jnp.pad(keep_mask, (0, extra))
-    return indices, keep_mask
+    indices, keep_mask = nms_padded_batch(
+        boxes[None], scores[None], float(iou_threshold), max_outputs,
+        valid=None if valid is None else valid[None],
+        block_size=block_size,
+    )
+    return indices[0], keep_mask[0]
 
 
 def _alive_sorted_xla(boxes_s, valid_s, iou_threshold, block):
@@ -163,10 +145,12 @@ def _alive_sorted_xla(boxes_s, valid_s, iou_threshold, block):
 
 
 @partial(
-    jax.jit, static_argnames=("iou_threshold", "max_outputs", "presorted")
+    jax.jit,
+    static_argnames=("iou_threshold", "max_outputs", "presorted",
+                     "block_size"),
 )
 def nms_padded_batch(boxes, scores, iou_threshold, max_outputs, valid=None,
-                     presorted=False):
+                     presorted=False, block_size=None):
     """Grouped greedy NMS: (G, N) candidate groups in one pass.
 
     On TPU the whole sweep runs in one grouped Pallas kernel (grid over
@@ -181,12 +165,21 @@ def nms_padded_batch(boxes, scores, iou_threshold, max_outputs, valid=None,
             ``top_k`` candidate cap, which every proposal stage applies.
             Skips the stable argsort and its gathers (measured several ms
             at the detection shapes).
+        block_size: XLA-fallback sweep tile size override (the TPU
+            kernel path picks its own tiling).
 
     Returns:
         ``(indices, keep_mask)`` of shape (G, max_outputs): per group,
         indices into the group's input arrays in descending-score order.
     """
     g, n = scores.shape
+    if n == 0:
+        # Degenerate candidate set (e.g. a top-n clamped to zero): all
+        # outputs masked, nothing to suppress.
+        return (
+            jnp.zeros((g, max_outputs), jnp.int32),
+            jnp.zeros((g, max_outputs), bool),
+        )
     scores = scores.astype(jnp.float32)
     if valid is None:
         valid = jnp.ones((g, n), dtype=bool)
@@ -220,7 +213,7 @@ def nms_padded_batch(boxes, scores, iou_threshold, max_outputs, valid=None,
             tile=tile,
         )[:, :n] > 0.5
     else:
-        block = _default_block(n)
+        block = min(block_size or _default_block(n), n)
         alive = jax.vmap(
             lambda b, v: _alive_sorted_xla(b, v, iou_threshold, block)[:n]
         )(boxes_s, valid_s)

@@ -124,28 +124,10 @@ def roi_crop_pool(feature_map, rois, im_shape, crop_size=14, pool=True):
     Returns:
         (R, Sy/2, Sx/2, C) pooled crops when ``pool`` else (R, Sy, Sx, C).
     """
-    h, w = im_shape[0], im_shape[1]
-    sy, sx = _pair(crop_size)
-    x1, y1, x2, y2 = jnp.split(rois.astype(jnp.float32), 4, axis=-1)
-    # Normalize by the image dims like the reference (roi_pool.py:55-66).
-    boxes = jnp.concatenate(
-        [y1 / h, x1 / w, y2 / h, x2 / w], axis=-1
-    )
-
-    if sy == sx and _on_tpu():
-        from luminoth_tpu.ops.pallas.roi_align_kernel import roi_align_pallas
-
-        fh, fw = feature_map.shape[0], feature_map.shape[1]
-        wy, wx = interp_weights(boxes, fh, fw, crop_size)
-        return roi_align_pallas(feature_map, wy, wx, sy, pool)
-
-    crops = crop_and_resize(feature_map, boxes, (sy, sx))
-    if not pool:
-        return crops
-    r = crops.shape[0]
-    c = crops.shape[-1]
-    crops = crops.reshape(r, sy // 2, 2, sx // 2, 2, c)
-    return jnp.max(crops, axis=(2, 4))
+    return roi_crop_pool_batch(
+        feature_map[None], rois[None], im_shape,
+        crop_size=crop_size, pool=pool,
+    )[0]
 
 
 def roi_crop_pool_batch(feature_maps, rois, im_shape, crop_size=14,
@@ -161,6 +143,13 @@ def roi_crop_pool_batch(feature_maps, rois, im_shape, crop_size=14,
     boxes = jnp.concatenate(
         [y1 / h, x1 / w, y2 / h, x2 / w], axis=-1
     )  # (B, R, 4)
+    # No gradient w.r.t. the boxes on EITHER backend: the Pallas VJP
+    # returns zero cotangents for the interpolation weights, so the XLA
+    # einsum path must match or training would silently differ by
+    # platform. (The detector stop-gradients its proposals anyway —
+    # reference: fasterrcnn.py:147; use crop_and_resize directly for a
+    # box-differentiable crop.)
+    boxes = jax.lax.stop_gradient(boxes)
 
     if sy == sx and _on_tpu():
         from luminoth_tpu.ops.pallas.roi_align_kernel import roi_align_pallas

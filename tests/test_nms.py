@@ -89,3 +89,13 @@ class TestNMSPerClass:
             ref = np_nms(boxes[ci], scores[ci], 0.5)[:20]
             got = np.asarray(idx[ci])[np.asarray(keep[ci])]
             np.testing.assert_array_equal(got, ref)
+
+
+def test_empty_candidate_set():
+    """Zero candidates (e.g. a top-n clamped to 0) must yield all-masked
+    outputs, not a ZeroDivisionError in the tile-size computation."""
+    idx, keep = nms_padded(
+        jnp.zeros((0, 4)), jnp.zeros((0,)), 0.5, max_outputs=5
+    )
+    assert idx.shape == (5,) and keep.shape == (5,)
+    assert not bool(np.asarray(keep).any())
