@@ -305,6 +305,14 @@ class ResNet(nn.Module):
             if self.endpoint == block_name:
                 return x, endpoints
 
+        if self.endpoint is not None:
+            # A typo'd endpoint would silently return the full stride-32
+            # trunk and break every downstream geometry assumption.
+            raise ValueError(
+                f"Unknown endpoint {self.endpoint!r}; expected one of "
+                f"{sorted(n for n in endpoints if n != 'root')}"
+            )
+
         if self.version == 2:
             x = _BatchNorm(self.train_bn, self.dtype, name="postnorm")(x)
             x = nn.relu(x)

@@ -46,6 +46,14 @@ class VGG16(nn.Module):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
                 endpoints[f"pool{stage[-1]}"] = x
 
+        if self.endpoint is not None:
+            # A typo'd endpoint would silently return the full conv5 trunk
+            # at the wrong stride.
+            raise ValueError(
+                f"Unknown endpoint {self.endpoint!r}; expected one of "
+                f"{sorted(n for n in endpoints if n.startswith('conv'))}"
+            )
+
         if self.truncated:
             endpoints["output"] = x
             return x, endpoints

@@ -69,11 +69,14 @@ class FasterRCNN(nn.Module):
     def with_rcnn(self):
         return bool(self.cfg.model.network.with_rcnn)
 
-    def _target_keys(self, batch):
+    def _target_keys(self, batch, stage):
         if self.has_rng("target"):
             key = self.make_rng("target")
         else:
-            key = jax.random.PRNGKey(0)
+            # No 'target' rng collection (eval-with-targets paths). Fold
+            # in the stage so the RPN and RCNN subsampling stay
+            # decorrelated even on the deterministic fallback.
+            key = jax.random.fold_in(jax.random.PRNGKey(0), stage)
         return jax.random.split(key, batch)
 
     @nn.compact
@@ -145,7 +148,7 @@ class FasterRCNN(nn.Module):
         if gt_boxes is not None:
             gt_boxes = gt_boxes.astype(jnp.float32)
             target_cfg = model_cfg.rpn.target
-            keys = self._target_keys(batch)
+            keys = self._target_keys(batch, stage=0)
             assign = jax.vmap(
                 lambda gt, shape, key: rpn_target_assign(
                     all_anchors,
@@ -181,7 +184,7 @@ class FasterRCNN(nn.Module):
 
         if gt_boxes is not None:
             t_cfg = rcnn_cfg.target
-            keys = self._target_keys(batch)
+            keys = self._target_keys(batch, stage=1)
             assign = jax.vmap(
                 lambda props, valid, gt, key: rcnn_target_assign(
                     props,

@@ -56,6 +56,11 @@ def rcnn_target_assign(
     overlaps = jnp.where(proposals_valid[:, None], overlaps, -1.0)
 
     max_overlaps = jnp.max(overlaps, axis=1)
+    # With zero valid gt boxes every overlap is the -1 sentinel, which
+    # falls outside the background band; treat the whole image as
+    # background instead, consistent with rpn_target (which labels all
+    # inside anchors background on an empty image).
+    max_overlaps = jnp.where(jnp.any(gt_valid), max_overlaps, 0.0)
     best_gt_idx = jnp.argmax(overlaps, axis=1)
 
     labels = jnp.full((num_proposals,), -1.0)
@@ -74,19 +79,25 @@ def rcnn_target_assign(
     # The single best proposal for each gt gets its class (priority). A
     # column that is all -1 means no valid proposal overlapped this gt at
     # all (e.g. zero valid proposals early in training); argmax would point
-    # at padding row 0, so gate the override on gt_best > -1 like
-    # rpn_target does for its best-anchor-per-gt pass.
+    # at padding row 0, so the claim is gated on gt_best > -1 like
+    # rpn_target's best-anchor-per-gt pass. Formulated as a dense claim
+    # matrix rather than a scatter: duplicate-index scatter writes are
+    # order-undefined in XLA, which let a padded gt row's stale write
+    # race a valid gt's class write at proposal 0. Ties between valid
+    # gts resolve to the HIGHEST gt index, matching the reference's
+    # sequential per-gt writes where the last gt wins
+    # (reference: rcnn_target.py label-priority semantics pinned by
+    # rcnn_target_test.py testLabelPriority).
     best_proposal_idx = jnp.argmax(overlaps, axis=0)  # (G,)
     gt_best = jnp.max(overlaps, axis=0)  # (G,)
     best_valid = gt_valid & (gt_best > -1.0)
-    labels = labels.at[best_proposal_idx].set(
-        jnp.where(best_valid, gt[:, 4] + 1.0, labels[best_proposal_idx])
-    )
-    is_best = (
-        jnp.zeros((num_proposals,), bool)
-        .at[best_proposal_idx]
-        .set(best_valid, mode="drop")
-    )
+    claim = best_valid[:, None] & (
+        jnp.arange(num_proposals)[None, :] == best_proposal_idx[:, None]
+    )  # (G, P)
+    num_gt = claim.shape[0]
+    winner_gt = (num_gt - 1) - jnp.argmax(claim[::-1], axis=0)  # (P,) last claiming gt
+    is_best = jnp.any(claim, axis=0)  # (P,)
+    labels = jnp.where(is_best, gt[:, 4][winner_gt] + 1.0, labels)
 
     # Subsample: at most max_fg positives, then fill with backgrounds.
     fg_key, bg_key = jax.random.split(key)
@@ -101,7 +112,11 @@ def rcnn_target_assign(
     bg_kept = _keep_random_quota(bg_mask, max_bg, bg_key)
     labels = jnp.where(bg_mask & ~bg_kept, -1.0, labels)
 
-    matched_gt = gt[:, :4][best_gt_idx]
+    # A best-claimed proposal regresses toward its claiming gt so its
+    # class and box target stay consistent even when its max-IoU gt is a
+    # different one.
+    matched_idx = jnp.where(is_best, winner_gt, best_gt_idx)
+    matched_gt = gt[:, :4][matched_idx]
     bbox_targets = encode(props, matched_gt, variances=variances)
     bbox_targets = jnp.where((labels > 0)[:, None], bbox_targets, 0.0)
 

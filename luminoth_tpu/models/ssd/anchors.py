@@ -11,6 +11,8 @@ coordinates and clipped.
 
 import numpy as np
 
+from luminoth_tpu.utils.image import adjust_bboxes
+
 
 def generate_anchors_reference(ratios, scales, num_anchors, feature_map_shape):
     """Reference anchors for one feature map, in cell coordinates."""
@@ -49,19 +51,6 @@ def generate_anchors_per_feature_map(feature_map_shape, anchor_reference):
     )  # (H*W, 4)
     all_anchors = anchor_reference[None, :, :] + shifts[:, None, :]
     return all_anchors.reshape(-1, 4)
-
-
-def adjust_bboxes(bboxes, old_height, old_width, new_height, new_width):
-    """Rescale boxes from one coordinate frame to another."""
-    return np.stack(
-        [
-            bboxes[:, 0] / old_width * new_width,
-            bboxes[:, 1] / old_height * new_height,
-            bboxes[:, 2] / old_width * new_width,
-            bboxes[:, 3] / old_height * new_height,
-        ],
-        axis=1,
-    )
 
 
 def generate_ssd_anchors(

@@ -86,7 +86,9 @@ def ssd_proposal(
 
     # Gather per-class candidate boxes (regression is class-agnostic).
     boxes_g = jnp.take_along_axis(
-        clipped[:, None].repeat(c, axis=1).reshape(b * c, num_anchors, 4),
+        jnp.broadcast_to(
+            clipped[:, None], (b, c, num_anchors, 4)
+        ).reshape(b * c, num_anchors, 4),
         top_idx.reshape(b * c, k)[..., None],
         axis=1,
     )  # (B·C, K, 4)

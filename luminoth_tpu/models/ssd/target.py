@@ -63,11 +63,23 @@ def ssd_target_assign(
     iou_is_fg = max_overlaps >= foreground_threshold
     anchors_label = jnp.where(iou_is_fg, best_fg_labels, anchors_label)
 
-    # Best-anchor-per-gt override (highest priority). Guard against anchors
-    # "best" for padded gt rows via the validity mask.
+    # Best-anchor-per-gt override (highest priority). Formulated as a
+    # dense claim matrix rather than a scatter: duplicate-index scatter
+    # writes are order-undefined in XLA, which let a padded gt row's
+    # stale write race a valid gt's class write at anchor 0 (padded
+    # columns are all -1, so their argmax lands on anchor 0). Ties
+    # between valid gts resolve to the HIGHEST gt index, matching the
+    # reference's sequential per-gt writes where the last gt wins (same
+    # semantics as rcnn_target's label-priority pass).
     best_anchor_for_gt = jnp.argmax(overlaps, axis=0)  # (G,)
-    anchors_label = anchors_label.at[best_anchor_for_gt].set(
-        jnp.where(gt_valid, gt[:, 4] + 1.0, anchors_label[best_anchor_for_gt])
+    claim = gt_valid[:, None] & (
+        jnp.arange(num_anchors)[None, :] == best_anchor_for_gt[:, None]
+    )  # (G, A)
+    num_gt = claim.shape[0]
+    winner_gt = (num_gt - 1) - jnp.argmax(claim[::-1], axis=0)  # (A,) last claiming gt
+    claimed = jnp.any(claim, axis=0)  # (A,)
+    anchors_label = jnp.where(
+        claimed, gt[:, 4][winner_gt] + 1.0, anchors_label
     )
 
     # Online hard negative mining: strongest-scoring backgrounds first.
@@ -85,8 +97,11 @@ def ssd_target_assign(
     set_bg = (ranks < num_bg) & (mining_scores > -1.0)
     anchors_label = jnp.where(set_bg, 0.0, anchors_label)
 
-    # Box targets for foreground anchors only.
-    matched_gt = gt[:, :4][best_gt_for_anchor]  # (A, 4)
+    # Box targets for foreground anchors only. A claimed anchor regresses
+    # toward its claiming gt so its class and box target stay consistent
+    # even when its max-IoU gt is a different one.
+    matched_idx = jnp.where(claimed, winner_gt, best_gt_for_anchor)
+    matched_gt = gt[:, :4][matched_idx]  # (A, 4)
     bbox_targets = encode(anchors, matched_gt, variances=variances)
     bbox_targets = jnp.where(
         (anchors_label > 0)[:, None], bbox_targets, 0.0

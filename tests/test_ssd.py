@@ -83,6 +83,32 @@ class TestSSDTarget:
         # The padding rows must not label their "best" anchors.
         assert int(jnp.sum(labels > 0)) == 1
 
+    def test_shared_best_anchor_last_gt_wins(self):
+        # Two valid gts whose best anchor is the same one: the LAST gt's
+        # class wins the claim, matching the reference's sequential
+        # per-gt writes (same semantics rcnn_target pins via the
+        # reference's testLabelPriority). The anchor's box target must
+        # regress toward the winning gt too.
+        probs = jnp.full((4, 4), 0.25)
+        # IoU vs anchor 0 (0,0,99,99): 0.26 / 0.30; vs anchor 2 (0,0,9,9):
+        # 0.04 / 0.03 — anchor 0 is both gts' best, below the fg threshold.
+        gt = _gt([[0, 0, 50, 50, 0], [0, 0, 54, 54, 2]])
+        labels, targets = self._assign(probs, gt)
+        # Exactly one claimed anchor, carrying the second gt's class.
+        assert int(jnp.sum(labels > 0)) == 1
+        winner = int(jnp.argmax(labels))
+        assert labels[winner] == 3.0  # class 2 → label 3
+        from luminoth_tpu.ops.boxes import encode
+
+        expected = encode(
+            self.ANCHORS[winner : winner + 1],
+            gt[1:2, :4],
+            variances=(0.1, 0.2),
+        )
+        np.testing.assert_allclose(
+            np.asarray(targets[winner]), np.asarray(expected[0]), atol=1e-5
+        )
+
     def test_no_gt(self):
         probs = jnp.full((4, 4), 0.25)
         gt = _gt([[0, 0, 0, 0, -1]])
