@@ -381,8 +381,9 @@ class ObjectDetectionDataset:
             "scale_factor": float(scale),
             "filename": filename,
             # Count of boxes actually shipped (augmentations like
-            # random_patch can drop boxes relative to the raw record).
-            "num_gt": len(final_boxes),
+            # random_patch can drop boxes relative to the raw record, and
+            # pad_gt_boxes truncates anything beyond max_gt rows).
+            "num_gt": min(len(final_boxes), self._max_gt),
         }
 
     def _prepared_stream(self):

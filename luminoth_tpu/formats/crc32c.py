@@ -8,13 +8,8 @@ masking scheme matches TensorFlow's record writer:
 
 import ctypes
 import os
-import threading
 
 from luminoth_tpu.formats.native_loader import load_native_lib
-
-_NATIVE = None
-_TRIED_NATIVE = False
-_LOAD_LOCK = threading.Lock()
 
 _C_SOURCE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -33,12 +28,8 @@ def _configure(lib):
 
 
 def _load_native():
-    global _NATIVE, _TRIED_NATIVE
-    with _LOAD_LOCK:
-        if not _TRIED_NATIVE:
-            _NATIVE = load_native_lib("crc32c.so", _C_SOURCE, _configure)
-            _TRIED_NATIVE = True
-    return _NATIVE
+    # Memoized (failures included) inside load_native_lib.
+    return load_native_lib("crc32c.so", _C_SOURCE, _configure)
 
 
 _PY_TABLE = None

@@ -14,15 +14,10 @@ against each other.
 
 import ctypes
 import os
-import threading
 
 import numpy as np
 
 from luminoth_tpu.formats.native_loader import load_native_lib
-
-_NATIVE = None
-_TRIED_NATIVE = False
-_LOAD_LOCK = threading.Lock()
 
 _C_SOURCE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -49,14 +44,8 @@ def _configure(lib):
 
 
 def _load_native():
-    global _NATIVE, _TRIED_NATIVE
-    with _LOAD_LOCK:
-        if not _TRIED_NATIVE:
-            _NATIVE = load_native_lib(
-                "example_parse.so", _C_SOURCE, _configure
-            )
-            _TRIED_NATIVE = True
-    return _NATIVE
+    # Memoized (failures included) inside load_native_lib.
+    return load_native_lib("example_parse.so", _C_SOURCE, _configure)
 
 
 def native_available():

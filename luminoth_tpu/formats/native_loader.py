@@ -35,42 +35,64 @@ def _cache_dir():
         )
         base = os.path.join(xdg, "luminoth_tpu", "native")
     os.makedirs(base, mode=0o700, exist_ok=True)
-    if hasattr(os, "getuid") and os.stat(base).st_uid != os.getuid():
+    st = os.stat(base)
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
         raise OSError(f"native cache dir {base!r} not owned by this user")
+    # makedirs does not re-mode a pre-existing directory: a cache dir
+    # created earlier under a permissive umask (or via LUMI_NATIVE_CACHE_DIR)
+    # could be group/world-writable, letting another local user swap the
+    # .so between the staleness check and dlopen. Close it down.
+    if st.st_mode & 0o077:
+        os.chmod(base, 0o700)
     return base
+
+
+# ``so_name`` → CDLL or None. Failed attempts are cached too, so callers
+# don't retry the compiler on every record; one memo here replaces the
+# per-caller global/flag/lock boilerplate.
+_CACHE = {}
 
 
 def load_native_lib(so_name, c_source, configure):
     """Build (if stale) + dlopen ``native/<c_source>`` → configured CDLL.
 
     ``configure(lib)`` sets the ctypes restype/argtypes. Returns the lib,
-    or ``None`` on any failure.
+    or ``None`` on any failure. Memoized per ``so_name`` (including
+    failures), so calling this on a hot path is cheap.
     """
     with _LOCK:
-        try:
-            so_path = os.path.join(_cache_dir(), so_name)
-            if not os.path.exists(so_path) or (
-                os.path.getmtime(so_path) < os.path.getmtime(c_source)
-            ):
-                tmp_path = (
-                    f"{so_path}.{os.getpid()}."
-                    f"{threading.get_ident()}.{uuid.uuid4().hex[:8]}"
+        if so_name in _CACHE:
+            return _CACHE[so_name]
+        lib = _load_uncached(so_name, c_source, configure)
+        _CACHE[so_name] = lib
+        return lib
+
+
+def _load_uncached(so_name, c_source, configure):
+    try:
+        so_path = os.path.join(_cache_dir(), so_name)
+        if not os.path.exists(so_path) or (
+            os.path.getmtime(so_path) < os.path.getmtime(c_source)
+        ):
+            tmp_path = (
+                f"{so_path}.{os.getpid()}."
+                f"{threading.get_ident()}.{uuid.uuid4().hex[:8]}"
+            )
+            try:
+                subprocess.run(
+                    [
+                        "cc", "-O3", "-shared", "-fPIC",
+                        c_source, "-o", tmp_path,
+                    ],
+                    check=True,
+                    capture_output=True,
                 )
-                try:
-                    subprocess.run(
-                        [
-                            "cc", "-O3", "-shared", "-fPIC",
-                            c_source, "-o", tmp_path,
-                        ],
-                        check=True,
-                        capture_output=True,
-                    )
-                    os.replace(tmp_path, so_path)
-                finally:
-                    if os.path.exists(tmp_path):
-                        os.unlink(tmp_path)
-            lib = ctypes.CDLL(so_path)
-            configure(lib)
-            return lib
-        except Exception:
-            return None
+                os.replace(tmp_path, so_path)
+            finally:
+                if os.path.exists(tmp_path):
+                    os.unlink(tmp_path)
+        lib = ctypes.CDLL(so_path)
+        configure(lib)
+        return lib
+    except Exception:
+        return None

@@ -47,22 +47,30 @@ class TFRecordWriter:
 def read_tfrecords(path, verify=False):
     """Yield record payloads from one TFRecord file.
 
-    ``verify=True`` checks the data CRC (off by default for speed; the
-    native CRC makes it cheap when enabled).
+    The 12-byte length CRC is ALWAYS checked: it is what stands between a
+    corrupt/desynced length field and an attempt to allocate up to 2^64
+    bytes, and it costs nothing relative to the read. ``verify=True``
+    additionally checks the per-record data CRC (off by default for
+    speed; the native CRC makes it cheap when enabled).
     """
     with open(path, "rb") as f:
         while True:
             header = f.read(12)
             if len(header) < 12:
+                if header:
+                    raise IOError(f"truncated record header in {path}")
                 return
             (length,) = struct.unpack("<Q", header[:8])
             (length_crc,) = struct.unpack("<I", header[8:12])
-            if verify and masked_crc32c(header[:8]) != length_crc:
+            if masked_crc32c(header[:8]) != length_crc:
                 raise IOError(f"corrupt length CRC in {path}")
             data = f.read(length)
             if len(data) < length:
                 raise IOError(f"truncated record in {path}")
-            (data_crc,) = struct.unpack("<I", f.read(4))
+            crc_bytes = f.read(4)
+            if len(crc_bytes) < 4:
+                raise IOError(f"truncated record in {path}")
+            (data_crc,) = struct.unpack("<I", crc_bytes)
             if verify and masked_crc32c(data) != data_crc:
                 raise IOError(f"corrupt data CRC in {path}")
             yield data

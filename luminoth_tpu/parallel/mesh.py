@@ -55,8 +55,11 @@ def batch_sharding(mesh, ndim=None):
 
     On a 2-D mesh, image-like arrays (``ndim >= 4``: B, H, W, C) also
     shard H over the space axis; lower-rank arrays (gt boxes, shapes)
-    shard only the batch axis.
+    shard only the batch axis. Rank-0 leaves (scalars like a step
+    counter) have no batch axis to shard and are replicated.
     """
+    if ndim is not None and ndim < 1:
+        return NamedSharding(mesh, P())
     if SPACE_AXIS in mesh.axis_names and (ndim is None or ndim >= 4):
         return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -68,7 +71,12 @@ def replicate_sharding(mesh):
 
 
 def shard_batch(batch, mesh):
-    """Device-put a pytree of host arrays with the batch axis sharded."""
+    """Device-put a pytree of host NUMERIC arrays, batch axis sharded.
+
+    Leaves must be arrays/scalars device_put accepts — filter out
+    host-only entries (filenames, python lists) first, the way
+    ``train._device_batch`` does.
+    """
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(
             x, batch_sharding(mesh, ndim=np.ndim(x))

@@ -15,6 +15,7 @@ The attribute-access mapping type (:class:`Config`) plays the role of the
 reference's ``EasyDict``.
 """
 
+import copy
 import inspect
 import os
 from collections.abc import Mapping
@@ -164,7 +165,12 @@ def merge_into(new_config, base_config, overwrite=False):
 
         if isinstance(value, dict):
             if _should_replace(new_config, base_config, key):
-                base_config[key] = value
+                # Deep-copy, don't alias: cleanup_config later strips
+                # _replace markers in place, and an aliased subtree would
+                # mutate the caller's input — a second resolve of the
+                # same parsed config would then deep-MERGE a subtree the
+                # user marked for wholesale replacement.
+                base_config[key] = copy.deepcopy(value)
             else:
                 base = base_config.get(key)
                 if not isinstance(base, dict):
@@ -233,8 +239,6 @@ def cleanup_config(config):
 
 def get_model_config(base_config, custom_config, override_params=None):
     """base ← custom yaml ← CLI overrides, then strip meta-keys."""
-    import copy
-
     config = copy.deepcopy(Config(base_config))
     if custom_config:
         config = merge_into(Config(custom_config), config, overwrite=True)

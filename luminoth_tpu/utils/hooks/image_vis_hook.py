@@ -27,6 +27,10 @@ class ImageVisHook:
     def after_step(self, step, batch, prediction_dict, all_anchors=None):
         if self._writer is None or not self._timer.should_trigger(step):
             return
+        # Mark the trigger consumed up front: if the vis attempt fails,
+        # retrying it (and the device_get of the whole prediction dict)
+        # on EVERY subsequent step is far worse than skipping this tick.
+        self._timer.update(step)
         try:
             import jax
 
@@ -44,9 +48,8 @@ class ImageVisHook:
                     f"image_vis/{name}", img, step, dataformats="HWC"
                 )
             self._writer.flush()
-            self._timer.update(step)
         except Exception as e:
-            logger.debug("image vis failed: %s", e)
+            logger.warning("image vis failed: %s", e)
 
 
 def _first_in_batch(tree):

@@ -8,6 +8,7 @@ import logging
 
 import numpy as np
 
+from luminoth_tpu.utils.checkpoint_io import flatten_params
 from luminoth_tpu.utils.hooks.timer import SecondOrStepTimer
 
 logger = logging.getLogger(__name__)
@@ -23,10 +24,13 @@ class VarVisHook:
     def after_step(self, step, params):
         if self._writer is None or not self._timer.should_trigger(step):
             return
+        # Consume the trigger up front so a failing summary attempt isn't
+        # retried (with a full param-pytree device_get) every later step.
+        self._timer.update(step)
         try:
             import jax
 
-            flat = _flatten(jax.device_get(params))
+            flat = flatten_params(jax.device_get(params))
             for name, value in flat.items():
                 value = np.asarray(value)
                 if self._mode == "full":
@@ -52,17 +56,5 @@ class VarVisHook:
                     f"variables/{name}/mean", float(value.mean()), step
                 )
             self._writer.flush()
-            self._timer.update(step)
         except Exception as e:
-            logger.debug("var vis failed: %s", e)
-
-
-def _flatten(tree, prefix=""):
-    out = {}
-    for key, value in tree.items():
-        path = f"{prefix}/{key}" if prefix else key
-        if isinstance(value, dict):
-            out.update(_flatten(value, path))
-        else:
-            out[path] = value
-    return out
+            logger.warning("var vis failed: %s", e)

@@ -72,9 +72,13 @@ def _resize_tf1(image, new_height, new_width):
 
 
 def _resize(image, new_height, new_width, method=None):
+    new_height, new_width = int(new_height), int(new_width)
+    if (new_height, new_width) == image.shape[:2]:
+        # Identity resize (scale 1.0, already-sized datasets): skip the
+        # full-image resample on the host-bound loader hot path.
+        return image
     if method == "tf1":
         return _resize_tf1(image, new_height, new_width)
-    new_height, new_width = int(new_height), int(new_width)
     if cv2 is not None:
         # dtype-preserving: cv2's uint8 bilinear path is ~2x the float one.
         return cv2.resize(

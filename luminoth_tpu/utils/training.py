@@ -37,7 +37,10 @@ def get_learning_rate(train_config):
 
     if not method or method == "none":
         value = lr_config.get("learning_rate", lr_config.get("value", 0.0003))
-        return optax.constant_schedule(value)
+        # float() everywhere a rate enters: YAML 1.1 parses `1e-4` as a
+        # STRING, and `learning_rate: {_replace: True}` in the base
+        # config bypasses the merge-time type check for this subtree.
+        return optax.constant_schedule(float(value))
 
     if method == "piecewise_constant":
         boundaries = [int(b) for b in lr_config["boundaries"]]
@@ -48,8 +51,11 @@ def get_learning_rate(train_config):
 
     if method == "exponential_decay":
         return optax.exponential_decay(
-            init_value=lr_config.get(
-                "learning_rate", lr_config.get("initial_learning_rate", 0.0003)
+            init_value=float(
+                lr_config.get(
+                    "learning_rate",
+                    lr_config.get("initial_learning_rate", 0.0003),
+                )
             ),
             transition_steps=int(lr_config.get("decay_steps", 100000)),
             decay_rate=float(lr_config.get("decay_rate", 0.96)),
@@ -57,8 +63,11 @@ def get_learning_rate(train_config):
         )
 
     if method == "polynomial_decay":
-        init = lr_config.get(
-            "learning_rate", lr_config.get("initial_learning_rate", 0.0003)
+        init = float(
+            lr_config.get(
+                "learning_rate",
+                lr_config.get("initial_learning_rate", 0.0003),
+            )
         )
         return optax.polynomial_schedule(
             init_value=init,
@@ -113,23 +122,27 @@ def get_optimizer(train_config, trainable_mask=None, weight_decay=0.0,
             optax.add_decayed_weights(weight_decay, mask=weight_decay_mask)
         )
 
+    # float() every rate-like kwarg: YAML 1.1 parses `1e-8` as a string,
+    # and `optimizer: {_replace: True}` bypasses the merge type check.
     if opt_type == "momentum":
-        opt = optax.sgd(schedule, momentum=opt_config.get("momentum", 0.9))
+        opt = optax.sgd(
+            schedule, momentum=float(opt_config.get("momentum", 0.9))
+        )
     elif opt_type in ("gradient_descent", "sgd"):
         opt = optax.sgd(schedule)
     elif opt_type == "adam":
         opt = optax.adam(
             schedule,
-            b1=opt_config.get("beta1", 0.9),
-            b2=opt_config.get("beta2", 0.999),
-            eps=opt_config.get("epsilon", 1e-8),
+            b1=float(opt_config.get("beta1", 0.9)),
+            b2=float(opt_config.get("beta2", 0.999)),
+            eps=float(opt_config.get("epsilon", 1e-8)),
         )
     elif opt_type == "rmsprop":
         opt = optax.rmsprop(
             schedule,
-            decay=opt_config.get("decay", 0.9),
-            momentum=opt_config.get("momentum", 0.0),
-            eps=opt_config.get("epsilon", 1e-10),
+            decay=float(opt_config.get("decay", 0.9)),
+            momentum=float(opt_config.get("momentum", 0.0)),
+            eps=float(opt_config.get("epsilon", 1e-10)),
         )
 
     if trainable_mask is not None:

@@ -95,6 +95,24 @@ def test_get_model_config_layering():
     assert base.model.depth == 3
 
 
+def test_get_model_config_resolves_twice_identically():
+    # cleanup_config strips _replace in place; if merge_into aliases the
+    # custom subtree instead of copying, the SECOND resolve of the same
+    # parsed config deep-merges what the first replaced wholesale.
+    base = Config({
+        "train": {"optimizer": {"type": "momentum", "momentum": 0.9}}
+    })
+    custom = Config({
+        "train": {"optimizer": {"_replace": True, "type": "adam"}}
+    })
+    first = get_model_config(base, custom)
+    second = get_model_config(base, custom)
+    assert "momentum" not in first.train.optimizer
+    assert "momentum" not in second.train.optimizer
+    # and the caller's parsed config still carries its marker
+    assert custom.train.optimizer["_replace"] is True
+
+
 def test_load_config_files(tmp_path):
     p1 = tmp_path / "a.yml"
     p1.write_text(yaml.safe_dump({"train": {"lr": 0.1}, "model": {"type": "ssd"}}))

@@ -110,6 +110,19 @@ class TestDatasetIteration:
         # boxes scaled by resize 64x48 → 96x96
         assert b["gt_boxes"][0, 0, 4] == 0  # label preserved
 
+    def test_num_gt_clamped_to_shipped_rows(self, tmp_path):
+        # 10 boxes but max_gt_boxes=8: pad_gt_boxes truncates to 8 rows,
+        # and raw_gt_counts must report the shipped count, not 10.
+        path = tmp_path / "train.tfrecords"
+        boxes = [(2 + i, 2, 12 + i, 12, 0) for i in range(10)]
+        with TFRecordWriter(str(path)) as w:
+            w.write(make_record(boxes=boxes))
+        cfg = ssd_like_config(str(tmp_path), batch_size=1)
+        ds = ObjectDetectionDataset(cfg, augment=False)
+        b = next(iter(ds))
+        assert b["gt_boxes"].shape == (1, 8, 5)
+        assert int(b["raw_gt_counts"][0]) == 8
+
     def test_epochs(self, tmp_path):
         data_dir = write_split(tmp_path, n=2)
         cfg = ssd_like_config(data_dir, batch_size=1, epochs=3)

@@ -1,6 +1,7 @@
 """TFRecord container + Example protobuf codec tests."""
 
 import numpy as np
+import pytest
 
 from luminoth_tpu.formats.crc32c import crc32c, masked_crc32c
 from luminoth_tpu.formats.example_pb import (
@@ -21,16 +22,16 @@ class TestCRC32C:
         assert crc32c(b"\xff" * 32) == 0x62A8AB43
 
     def test_python_fallback_agrees(self):
-        import luminoth_tpu.formats.crc32c as mod
+        from luminoth_tpu.formats import native_loader
 
         data = bytes(range(256)) * 7 + b"tail"
         native = crc32c(data)
-        saved = mod._NATIVE, mod._TRIED_NATIVE
+        saved = native_loader._CACHE.get("crc32c.so")
         try:
-            mod._NATIVE, mod._TRIED_NATIVE = None, True
+            native_loader._CACHE["crc32c.so"] = None  # force python path
             assert crc32c(data) == native
         finally:
-            mod._NATIVE, mod._TRIED_NATIVE = saved
+            native_loader._CACHE["crc32c.so"] = saved
 
     def test_masked(self):
         # masking formula sanity
@@ -48,6 +49,38 @@ class TestTFRecordRoundTrip:
                 w.write(r)
         got = list(read_tfrecords(path, verify=True))
         assert got == records
+
+    def test_corrupt_length_raises_not_allocates(self, tmp_path):
+        # A flipped byte in the uint64 length must hit the (always-on)
+        # length CRC and raise, not attempt a multi-GB read.
+        path = str(tmp_path / "bad.tfrecords")
+        with TFRecordWriter(path) as w:
+            w.write(b"payload")
+        raw = bytearray(open(path, "rb").read())
+        raw[3] ^= 0x40  # corrupt a high length byte
+        open(path, "wb").write(bytes(raw))
+        with pytest.raises(IOError):
+            list(read_tfrecords(path))
+
+    def test_truncated_trailing_crc_raises(self, tmp_path):
+        path = str(tmp_path / "trunc.tfrecords")
+        with TFRecordWriter(path) as w:
+            w.write(b"payload")
+        raw = open(path, "rb").read()
+        open(path, "wb").write(raw[:-2])  # cut into the data CRC
+        with pytest.raises(IOError):
+            list(read_tfrecords(path))
+
+    def test_truncated_header_raises(self, tmp_path):
+        path = str(tmp_path / "hdr.tfrecords")
+        with TFRecordWriter(path) as w:
+            w.write(b"payload")
+            w.write(b"second")
+        raw = open(path, "rb").read()
+        # Cut mid-way into the second record's 12-byte header.
+        open(path, "wb").write(raw[: 12 + 7 + 4 + 5])
+        with pytest.raises(IOError):
+            list(read_tfrecords(path))
 
 
 class TestExampleCodec:

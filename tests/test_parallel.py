@@ -66,6 +66,19 @@ def test_mesh_helpers():
     assert sharded["image"].sharding.spec == batch_sharding(mesh).spec
 
 
+def test_shard_batch_replicates_scalars():
+    # Rank-0 leaves (step counters etc.) have no batch axis; shard_batch
+    # must replicate them instead of raising on P('data') vs ndim 0.
+    mesh = make_mesh()
+    batch = {
+        "image": np.zeros((8, 4, 4, 3), np.float32),
+        "step": np.int32(5),
+    }
+    sharded = shard_batch(batch, mesh)
+    assert int(sharded["step"]) == 5
+    assert sharded["step"].sharding.is_fully_replicated
+
+
 def test_dp_matches_single_device():
     params, opt_state, step, x, y = build()
 

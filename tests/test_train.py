@@ -201,6 +201,45 @@ def test_per_module_weight_decay_coefficients():
     assert coeffs["rcnn"]["fc_classifier"]["kernel"] == 0.0
 
 
+def test_learning_rate_accepts_yaml_string_scientific():
+    # YAML 1.1 parses `1e-4` (no dot, no sign marker) as a STRING, and the
+    # learning_rate/optimizer subtrees are `_replace: True` in the base
+    # configs so the merge-time type check never sees them. The factory
+    # must cast.
+    import yaml
+
+    from luminoth_tpu.utils.config import Config
+    from luminoth_tpu.utils.training import get_learning_rate, get_optimizer
+
+    parsed = yaml.safe_load("value: 1e-4")
+    assert isinstance(parsed["value"], str)  # the YAML 1.1 trap is real
+
+    sched = get_learning_rate(Config({"learning_rate": parsed}))
+    assert float(sched(0)) == pytest.approx(1e-4)
+
+    sched = get_learning_rate(
+        Config({
+            "learning_rate": yaml.safe_load(
+                "decay_method: exponential_decay\n"
+                "initial_learning_rate: 2.5e-3\n"
+                "decay_steps: 10\n"
+            )
+        })
+    )
+    assert float(sched(0)) == pytest.approx(2.5e-3)
+
+    opt, _ = get_optimizer(
+        Config({
+            "optimizer": yaml.safe_load("type: adam\nepsilon: 1e-8"),
+            "learning_rate": {"value": 0.001},
+        })
+    )
+    params = {"w": jnp.ones((2,))}
+    state = opt.init(params)
+    updates, _ = opt.update({"w": jnp.ones((2,))}, state, params)
+    assert np.all(np.isfinite(np.asarray(updates["w"])))
+
+
 class TestPrefetchToDevice:
     def test_yields_all_batches_in_order(self):
         import jax
