@@ -18,4 +18,8 @@ def on_tpu():
         platform = jax.devices()[0].platform
     except Exception:
         return False
-    return platform not in ("cpu", "gpu")
+    # Allowlist, not "anything that isn't cpu/gpu": a non-TPU plugin
+    # backend (METAL, neuron, ...) must take the XLA path rather than
+    # crash lowering pltpu kernels. "axon" is this environment's
+    # tunneled TPU plugin.
+    return platform in ("tpu", "axon")

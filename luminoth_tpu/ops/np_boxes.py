@@ -50,7 +50,9 @@ def unmap(data, count, inds, fill=0):
     ``fill``."""
     data = np.asarray(data)
     ret = np.full((count,) + data.shape[1:], fill, dtype=np.float32)
-    ret[np.asarray(inds)] = data
+    # int64 coercion: an empty python list would otherwise become a
+    # float64 index array, which numpy rejects.
+    ret[np.asarray(inds, dtype=np.int64)] = data
     return ret
 
 

@@ -232,7 +232,7 @@ def predict(path_or_dir, config_files, checkpoint, override_params,
 
         config = get_checkpoint_config(checkpoint)
     else:
-        click.echo("Neither checkpoint not config specified, assuming "
+        click.echo("Neither checkpoint nor config specified, assuming "
                    "`accurate`.")
         from luminoth_tpu.tools.checkpoint import get_checkpoint_config
 

@@ -60,10 +60,7 @@ class Detector:
         """
         if prob is None:
             prob = self.prob
-        if classes is None:
-            classes = self.classes
-        elif classes is not None:
-            classes = set(classes)
+        classes = self.classes if classes is None else set(classes)
 
         single = not isinstance(images, (list, tuple))
         if single:

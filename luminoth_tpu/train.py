@@ -413,12 +413,16 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
                 state.params, state.batch_stats, device_batch
             )
 
+        vis_variances = config.model.get("variances") or (
+            config.model.get("rcnn") or {}
+        ).get("target_normalization_variances")
         vis_hook = ImageVisHook(
             writer,
             config.model.type,
             image_vis_mode=image_vis_mode,
             every_secs=train_cfg.get("display_every_secs"),
             every_steps=train_cfg.get("display_every_steps"),
+            variances=tuple(vis_variances) if vis_variances else None,
         )
         hooks.append(("image_vis", vis_hook, monitor_forward))
     var_vis_mode = train_cfg.get("var_vis")

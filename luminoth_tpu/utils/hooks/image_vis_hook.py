@@ -18,10 +18,11 @@ logger = logging.getLogger(__name__)
 
 class ImageVisHook:
     def __init__(self, writer, model_type, image_vis_mode="train",
-                 every_secs=None, every_steps=None):
+                 every_secs=None, every_steps=None, variances=None):
         self._writer = writer
         self._model_type = model_type
         self._mode = image_vis_mode
+        self._variances = variances
         self._timer = SecondOrStepTimer(every_secs, every_steps)
 
     def after_step(self, step, batch, prediction_dict, all_anchors=None):
@@ -42,6 +43,7 @@ class ImageVisHook:
                 image=batch["image"][0],
                 gt_boxes=batch["gt_boxes"][0],
                 all_anchors=all_anchors,
+                variances=self._variances,
             )
             for name, img in summaries.items():
                 self._writer.add_image(

@@ -16,6 +16,13 @@ BG_COLOR = (214, 39, 40)
 PROPOSAL_COLOR = (31, 119, 180)
 GT_COLOR = (255, 127, 14)
 
+# Default decode variances when the dispatcher isn't handed the model's
+# actual config values (fasterrcnn/base_config.yml
+# `rcnn.target_normalization_variances`): RCNN targets and head offsets
+# live in variance-normalized space, so debug decodes must divide them
+# back out.
+RCNN_VARIANCES = (0.1, 0.2)
+
 
 def _to_pil(image):
     arr = np.clip(np.asarray(image), 0, 255).astype(np.uint8)
@@ -119,8 +126,13 @@ def draw_ssd_anchor_matches(image, prediction_dict=None, anchors=None,
                             **kwargs):
     """SSD: anchors labeled foreground by the target stage."""
     pil = _to_pil(image)
-    target = (prediction_dict or {}).get("target", {})
+    pred = prediction_dict or {}
+    target = pred.get("target", {})
     cls = target.get("cls")
+    if anchors is None:
+        # The SSD model ships its anchors in the prediction dict
+        # (models/ssd/model.py); the dispatcher doesn't pass anchors=.
+        anchors = pred.get("anchors")
     if cls is not None and anchors is not None:
         cls = np.asarray(cls)
         anchors = np.asarray(anchors)
@@ -562,7 +574,10 @@ def draw_rcnn_cls_batch_errors(image, prediction_dict=None, gt_boxes=None,
     proposals, labels, offsets_target, cls_score, _ = arrays
     ce = _np_softmax_ce(cls_score, labels.astype(np.int64))
     order = np.argsort(-ce if worst else ce)[:n]
-    boxes = np_boxes.decode(proposals[order], offsets_target[order])
+    boxes = np_boxes.decode(
+        proposals[order], offsets_target[order],
+        variances=kwargs.get("variances") or RCNN_VARIANCES,
+    )
     draw = _rgba_draw(pil)
     for box, t, err in zip(boxes, labels[order], ce[order]):
         rgb = (0, 255, 0) if t > 0 else (255, 0, 0)
@@ -593,7 +608,10 @@ def draw_rcnn_reg_batch_errors(image, prediction_dict=None, gt_boxes=None,
     per_class = head_offsets[fg].reshape(len(labels), -1, 4)
     picked = per_class[np.arange(len(labels)), labels.astype(np.int64) - 1]
     reg = _np_smooth_l1(picked, offsets_target, sigma=l1_sigma)
-    boxes = np_boxes.decode(proposals, picked)
+    boxes = np_boxes.decode(
+        proposals, picked,
+        variances=kwargs.get("variances") or RCNN_VARIANCES,
+    )
     draw = _rgba_draw(pil)
     for prop, box, r, c in zip(proposals, boxes, reg, ce):
         _fill_box(draw, box, (0, 255, 0),
@@ -685,7 +703,11 @@ def draw_rcnn_input_proposals(image, prediction_dict=None, gt_boxes=None,
 
 # --- SSD debug renderings --------------------------------------------------
 
-SSD_VARIANCES = (0.1, 0.2)  # models/ssd/base_config.yml `variances`
+# Config defaults, used when the dispatcher isn't handed the model's
+# actual values (image_vis_summaries/variances plumbs the overrides):
+# models/ssd/base_config.yml `variances`, fasterrcnn/base_config.yml
+# `rcnn.target_normalization_variances`.
+SSD_VARIANCES = (0.1, 0.2)
 
 
 def draw_ssd_target_proposals(image, prediction_dict=None, gt_boxes=None,
@@ -704,8 +726,10 @@ def draw_ssd_target_proposals(image, prediction_dict=None, gt_boxes=None,
         return np.asarray(pil)
     cls = np.asarray(cls)
     sel = cls >= 0
-    boxes = np_boxes.decode(np.asarray(anchors)[sel],
-                            np.asarray(loc)[sel], variances=SSD_VARIANCES)
+    boxes = np_boxes.decode(
+        np.asarray(anchors)[sel], np.asarray(loc)[sel],
+        variances=kwargs.get("variances") or SSD_VARIANCES,
+    )
     draw = _rgba_draw(pil)
     alpha = 70
     for box, t in zip(boxes, cls[sel]):
@@ -764,8 +788,10 @@ def draw_ssd_bbox_pred(image, prediction_dict=None, top_k=5, **kwargs):
     loc, anchors = np.asarray(loc)[fg], np.asarray(anchors)[fg]
     reg = _np_smooth_l1(loc, np.asarray(offsets_target)[fg])
     order = np.argsort(-reg)[:top_k]
-    boxes = np_boxes.decode(anchors[order], loc[order],
-                            variances=SSD_VARIANCES)
+    boxes = np_boxes.decode(
+        anchors[order], loc[order],
+        variances=kwargs.get("variances") or SSD_VARIANCES,
+    )
     draw = _rgba_draw(pil)
     for anchor, box, loss in zip(anchors[order], boxes, reg[order]):
         _fill_box(draw, anchor, (0, 255, 0), text=f"{loss:.2f}",
@@ -914,9 +940,12 @@ summaries_fn = {
 
 def image_vis_summaries(prediction_dict, config=None, image_vis_mode="train",
                         image=None, gt_boxes=None, extra_tag=None,
-                        all_anchors=None):
+                        all_anchors=None, variances=None):
     """Run the registered draw functions for the model/mode.
 
+    ``variances`` are the model's encode/decode variances
+    (``rcnn.target_normalization_variances`` / ssd ``model.variances``);
+    draw functions fall back to the config defaults when omitted.
     Returns {summary_name: uint8 image array}.
     """
     model_type = (config or {}).get("type", "fasterrcnn") if isinstance(
@@ -935,6 +964,7 @@ def image_vis_summaries(prediction_dict, config=None, image_vis_mode="train",
                 prediction_dict=prediction_dict,
                 gt_boxes=gt_boxes,
                 all_anchors=all_anchors,
+                variances=variances,
             )
         except Exception:  # vis must never break training
             continue

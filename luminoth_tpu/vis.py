@@ -49,16 +49,28 @@ def draw_rectangle(draw, coords, color, width=2, fill_alpha=0):
 
 
 def draw_label(draw, coords, label, prob, color, scale=1):
-    """Draw the label text at the box's top-left corner."""
+    """Draw the label text at the box's top-left corner.
+
+    ``scale`` multiplies the font size (reference vis.py:109-135
+    semantics: the default font scaled by the caller's ``scale``).
+    """
     x1, y1 = int(round(coords[0])), int(round(coords[1]))
     if prob is not None:
         text = "{} ({:.2f})".format(label, float(prob))
     else:
         text = str(label)
+    font = None
     try:
-        font = ImageFont.load_default()
+        if scale and float(scale) != 1.0:
+            # Pillow >= 9.2 supports sizing the built-in bitmap font.
+            font = ImageFont.load_default(size=10 * float(scale))
+        else:
+            font = ImageFont.load_default()
     except Exception:
-        font = None
+        try:
+            font = ImageFont.load_default()
+        except Exception:
+            font = None
     draw.text((x1 + 2, y1 + 2), text, fill=tuple(color) + (255,), font=font)
 
 

@@ -195,6 +195,47 @@ def test_dispatcher_runs_debug_mode(image, frcnn_pred, gt_boxes, all_anchors):
         assert img.dtype == np.uint8
 
 
+def test_ssd_anchor_matches_reads_anchors_from_pred(image, ssd_pred):
+    # The dispatcher never passes anchors=; the function must find the
+    # SSD anchors in the prediction dict and actually draw.
+    base = np.asarray(
+        image_vis.draw_ssd_anchor_matches(image, prediction_dict={})
+    )
+    drawn = np.asarray(
+        image_vis.draw_ssd_anchor_matches(image, prediction_dict=ssd_pred)
+    )
+    assert (drawn != base).any()
+
+
+def test_rcnn_error_renderers_decode_with_variances(image, frcnn_pred,
+                                                    gt_boxes):
+    # Offsets are variance-normalized (x10 center / x5 log-size without
+    # the divide), so decoding with vs without variances must differ —
+    # and the default decode must be the variance-aware one.
+    from luminoth_tpu.ops import np_boxes
+
+    pred = frcnn_pred["classification_prediction"]
+    proposals = pred["proposals"]
+    offsets = pred["target"]["bbox_offsets"]
+    with_var = np_boxes.decode(proposals, offsets, variances=(0.1, 0.2))
+    without = np_boxes.decode(proposals, offsets)
+    assert not np.allclose(with_var, without)
+
+    out_default = image_vis.draw_rcnn_reg_batch_errors(
+        image, prediction_dict=frcnn_pred, gt_boxes=gt_boxes
+    )
+    out_explicit = image_vis.draw_rcnn_reg_batch_errors(
+        image, prediction_dict=frcnn_pred, gt_boxes=gt_boxes,
+        variances=(0.1, 0.2),
+    )
+    np.testing.assert_array_equal(out_default, out_explicit)
+    out_other = image_vis.draw_rcnn_reg_batch_errors(
+        image, prediction_dict=frcnn_pred, gt_boxes=gt_boxes,
+        variances=(1.0, 1.0),
+    )
+    assert (out_other != out_default).any()
+
+
 def test_np_softmax_ce_matches_manual():
     logits = np.array([[2.0, 1.0, 0.1], [0.0, 0.0, 0.0]])
     labels = np.array([0, 2])

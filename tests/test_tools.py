@@ -278,9 +278,15 @@ class TestCLITree:
     def test_all_commands_registered(self):
         from luminoth_tpu.cli import cli
 
-        commands = set(cli.commands)
+        commands = set(cli.list_commands(None))
         assert {"train", "predict", "eval", "checkpoint", "dataset",
                 "server", "cloud"} <= commands
+        # The lazy group must resolve each listed command to a real
+        # click command at invocation time.
+        for name in sorted(commands):
+            import click
+
+            assert isinstance(cli.get_command(None, name), click.Command)
 
     def test_help_runs(self):
         from luminoth_tpu.cli import cli
