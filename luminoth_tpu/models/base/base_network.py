@@ -138,6 +138,24 @@ class BaseNetworkTail(nn.Module):
         kind, version, depth = _parse_architecture(architecture)
         if kind != "resnet":
             return roi_features
+        if (
+            self.config.get("int8_tail")
+            and not train
+            and version == 1
+        ):
+            # Opt-in serving profile: same parameter pytree, int8 MXU
+            # dots (2x the bf16 rate) with BN folded and dynamic
+            # activation quantization. See quantized_tail.py.
+            from luminoth_tpu.models.base.quantized_tail import (
+                Int8ResNetTail,
+            )
+
+            return Int8ResNetTail(
+                depth=depth,
+                version=version,
+                dtype=self.dtype,
+                name=architecture,
+            )(roi_features)
         train_bn = bool(train and self.config.get("train_batch_norm"))
         return ResNetTail(
             depth=depth,

@@ -1,0 +1,235 @@
+"""Int8 twin of the ROI-head tail (``ResNetTail``) for serving.
+
+The parity-budget inference profile is bound by the block4 tail over
+pooled ROIs — bf16 matmuls already near roofline (docs/usage/
+performance.md). The TPU MXU runs int8 at twice the bf16 rate, so this
+module recomputes the SAME tail (same parameter pytree, any converted
+or trained checkpoint works unchanged) with:
+
+* batch-norm folded into the conv weights at apply time (inference BN
+  is an affine transform per output channel);
+* per-output-channel symmetric int8 weight quantization, computed from
+  the float params inside the jitted forward (a one-pass read of the
+  ~15M tail weights, negligible against the tail matmuls);
+* dynamic per-tensor activation quantization (``max|x|/127``) — no
+  calibration data needed;
+* int8×int8→int32 MXU dots with a fused dequant+bias+relu epilogue;
+  residual adds stay in float.
+
+This is an opt-in SERVING profile (``model.base_network.int8_tail``):
+post-training int8 typically costs a few tenths of a point of mAP, so
+it is never enabled by default and never used in training (the flag is
+ignored when ``train=True``).
+
+reference context: the tail being quantized mirrors
+luminoth/models/base/truncated_base_network.py:56-95 (_build_tail).
+"""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from luminoth_tpu.models.base.resnet import RESNET_BLOCK_DEFS
+
+_BN_EPS = 1e-5  # slim resnet default, matches resnet._BatchNorm
+
+
+def quantize_per_tensor(x):
+    """Symmetric dynamic per-tensor quantization to int8.
+
+    Returns ``(x_q, scale)`` with ``x ≈ x_q * scale``.
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def quantize_weight_per_channel(w):
+    """Symmetric int8 quantization with one scale per output channel.
+
+    ``w`` is (..., out); returns ``(w_q, scales (out,))``.
+    """
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w.reshape(-1, w.shape[-1])), axis=0)
+    scales = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scales), -127, 127)
+    return q.astype(jnp.int8), scales
+
+
+def fold_bn(kernel, gamma, beta, mean, var, eps=_BN_EPS):
+    """Fold an inference-mode BatchNorm into the preceding conv.
+
+    conv(x, W) then BN ≡ conv(x, W·γ/σ) + (β − μ·γ/σ).
+    """
+    inv_sigma = gamma.astype(jnp.float32) / jnp.sqrt(
+        var.astype(jnp.float32) + eps
+    )
+    folded_kernel = kernel.astype(jnp.float32) * inv_sigma
+    folded_bias = beta.astype(jnp.float32) - mean.astype(
+        jnp.float32
+    ) * inv_sigma
+    return folded_kernel, folded_bias
+
+
+def _int8_matmul_1x1(x_q, x_scale, w_q, w_scales, bias):
+    """(N, H, W, Cin) int8 × folded 1x1 kernel → float (N, H, W, Cout)."""
+    n, h, w, cin = x_q.shape
+    cout = w_q.shape[-1]
+    acc = jax.lax.dot_general(
+        x_q.reshape(-1, cin),
+        w_q.reshape(cin, cout),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (x_scale * w_scales) + bias
+    return out.reshape(n, h, w, cout)
+
+
+def _int8_conv3x3(x_q, x_scale, w_q, w_scales, bias):
+    """3x3 SAME stride-1 conv as int8 MXU dots.
+
+    Formulated as 9 shifted 1x1 matmuls accumulated in int32: XLA fuses
+    each pad+slice into its dot's operand, and the MXU runs the dots at
+    the int8 rate — no reliance on int8 convolution lowering, and no
+    9x im2col blow-up materialized in HBM.
+    """
+    n, h, w, cin = x_q.shape
+    cout = w_q.shape[-1]
+    padded = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((n * h * w, cout), jnp.int32)
+    for dy in range(3):
+        for dx in range(3):
+            window = jax.lax.dynamic_slice(
+                padded, (0, dy, dx, 0), (n, h, w, cin)
+            ).reshape(-1, cin)
+            acc = acc + jax.lax.dot_general(
+                window,
+                w_q[dy, dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+    out = acc.astype(jnp.float32) * (x_scale * w_scales) + bias
+    return out.reshape(n, h, w, cout)
+
+
+class _ConvKernel(nn.Module):
+    """Declares the same ``kernel`` param an ``nn.Conv`` would."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape
+        )
+
+
+class _BNVars(nn.Module):
+    """Declares the same params/stats ``resnet._BatchNorm`` would."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _BNInner(self.features, name="BatchNorm")()
+
+
+class _BNInner(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        f = self.features
+        scale = self.param("scale", nn.initializers.ones, (f,))
+        bias = self.param("bias", nn.initializers.zeros, (f,))
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((f,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((f,), jnp.float32)
+        )
+        return scale, bias, mean.value, var.value
+
+
+class Int8BottleneckV1(nn.Module):
+    """Int8 inference twin of ``resnet.BottleneckV1`` (stride 1, rate 1).
+
+    Declares parameters under the exact names/shapes of the float
+    bottleneck so both paths share one checkpoint.
+    """
+
+    depth: int
+    depth_bottleneck: int
+
+    @nn.compact
+    def __call__(self, x):
+        depth_in = x.shape[-1]
+        x_q, x_scale = quantize_per_tensor(x)
+
+        if depth_in == self.depth:
+            shortcut = x.astype(jnp.float32)
+        else:
+            sc_kernel = _ConvKernel(
+                (1, 1, depth_in, self.depth), name="shortcut"
+            )()
+            sc_bn = _BNVars(self.depth, name="shortcut_bn")()
+            k, b = fold_bn(sc_kernel, *sc_bn)
+            k_q, k_s = quantize_weight_per_channel(k)
+            shortcut = _int8_matmul_1x1(x_q, x_scale, k_q, k_s, b)
+
+        k1 = _ConvKernel(
+            (1, 1, depth_in, self.depth_bottleneck), name="conv1"
+        )()
+        bn1 = _BNVars(self.depth_bottleneck, name="conv1_bn")()
+        k, b = fold_bn(k1, *bn1)
+        k_q, k_s = quantize_weight_per_channel(k)
+        residual = nn.relu(_int8_matmul_1x1(x_q, x_scale, k_q, k_s, b))
+
+        r_q, r_scale = quantize_per_tensor(residual)
+        k2 = _ConvKernel(
+            (3, 3, self.depth_bottleneck, self.depth_bottleneck),
+            name="conv2",
+        )()
+        bn2 = _BNVars(self.depth_bottleneck, name="conv2_bn")()
+        k, b = fold_bn(k2, *bn2)
+        k_q, k_s = quantize_weight_per_channel(k)
+        residual = nn.relu(_int8_conv3x3(r_q, r_scale, k_q, k_s, b))
+
+        r_q, r_scale = quantize_per_tensor(residual)
+        k3 = _ConvKernel(
+            (1, 1, self.depth_bottleneck, self.depth), name="conv3"
+        )()
+        bn3 = _BNVars(self.depth, name="conv3_bn")()
+        k, b = fold_bn(k3, *bn3)
+        k_q, k_s = quantize_weight_per_channel(k)
+        residual = _int8_matmul_1x1(r_q, r_scale, k_q, k_s, b)
+
+        return nn.relu(shortcut + residual)
+
+
+class Int8ResNetTail(nn.Module):
+    """Int8 inference twin of ``resnet.ResNetTail`` (v1 only).
+
+    Same module names (``block4/unit_N``) and parameter pytree as the
+    float tail; output dtype follows ``dtype`` like the float path.
+    """
+
+    depth: int = 101
+    version: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.version != 1:
+            raise ValueError("int8_tail supports resnet v1 tails only")
+        base_depth, num_units, _ = RESNET_BLOCK_DEFS[self.depth][-1]
+        for u in range(1, num_units + 1):
+            x = Int8BottleneckV1(
+                depth=base_depth * 4,
+                depth_bottleneck=base_depth,
+                name=f"block4/unit_{u}",
+            )(x)
+        return x.astype(self.dtype)
