@@ -652,14 +652,21 @@ def main():
         serving["post_nms_top_n"] = 1000
         detail["fasterrcnn_inference_serving1000"] = serving
     if only == "int8":
-        # Opt-in int8 ROI-tail serving profile at the parity budget
-        # (model.base_network.int8_tail). Run explicitly
+        # Opt-in int8 serving profiles at the parity budget
+        # (model.base_network.int8_tail / int8_trunk). Run explicitly
         # (`python bench.py 8 int8`) until hardware-validated.
         int8 = bench_frcnn_inference(
             batch=batch,
             overrides=["model.base_network.int8_tail=True"],
         )
         detail["fasterrcnn_inference_int8_tail"] = int8
+        detail["fasterrcnn_inference_int8_full"] = bench_frcnn_inference(
+            batch=batch,
+            overrides=[
+                "model.base_network.int8_tail=True",
+                "model.base_network.int8_trunk=True",
+            ],
+        )
         frcnn = frcnn or int8
     if only in ("all", "ssd"):
         detail["ssd_inference"] = bench_ssd_inference()

@@ -93,6 +93,31 @@ class TruncatedBaseNetwork(nn.Module):
         x = subtract_channel_means(images)
 
         if kind == "resnet":
+            if (
+                self.config.get("int8_trunk")
+                and not train
+                and version == 1
+            ):
+                # Opt-in serving profile twin of the float trunk (same
+                # parameter pytree; see quantized_tail.py).
+                from luminoth_tpu.models.base.quantized_tail import (
+                    Int8ResNetTrunk,
+                )
+
+                feature_map, endpoints = Int8ResNetTrunk(
+                    depth=depth,
+                    version=version,
+                    output_stride=self.config.get("output_stride"),
+                    endpoint=self.endpoint_name,
+                    stride_first=bool(
+                        self.config.get("torchvision_compat")
+                    ),
+                    dtype=self.dtype,
+                    name=self.architecture,
+                )(x)
+                if return_endpoints:
+                    return feature_map, endpoints
+                return feature_map
             train_bn = bool(train and self.config.get("train_batch_norm"))
             feature_map, endpoints = ResNet(
                 depth=depth,

@@ -1,10 +1,11 @@
-"""Int8 twin of the ROI-head tail (``ResNetTail``) for serving.
+"""Int8 twins of the ResNet tail and trunk for serving.
 
 The parity-budget inference profile is bound by the block4 tail over
 pooled ROIs — bf16 matmuls already near roofline (docs/usage/
-performance.md). The TPU MXU runs int8 at twice the bf16 rate, so this
-module recomputes the SAME tail (same parameter pytree, any converted
-or trained checkpoint works unchanged) with:
+performance.md) — with the block1-3 trunk most of the rest. The TPU MXU
+runs int8 at twice the bf16 rate, so these modules recompute the SAME
+networks (same parameter pytree, any converted or trained checkpoint
+works unchanged) with:
 
 * batch-norm folded into the conv weights at apply time (inference BN
   is an affine transform per output channel);
@@ -16,10 +17,10 @@ or trained checkpoint works unchanged) with:
 * int8×int8→int32 MXU dots with a fused dequant+bias+relu epilogue;
   residual adds stay in float.
 
-This is an opt-in SERVING profile (``model.base_network.int8_tail``):
-post-training int8 typically costs a few tenths of a point of mAP, so
-it is never enabled by default and never used in training (the flag is
-ignored when ``train=True``).
+These are opt-in SERVING profiles (``model.base_network.int8_tail`` /
+``int8_trunk``): post-training int8 typically costs a few tenths of a
+point of mAP, so they are never enabled by default and never used in
+training (the flags are ignored when ``train=True``).
 
 reference context: the tail being quantized mirrors
 luminoth/models/base/truncated_base_network.py:56-95 (_build_tail).
@@ -31,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from luminoth_tpu.models.base.resnet import RESNET_BLOCK_DEFS
+from luminoth_tpu.models.base.resnet import RESNET_BLOCK_DEFS, _plan_units
 
 _BN_EPS = 1e-5  # slim resnet default, matches resnet._BatchNorm
 
@@ -88,23 +89,37 @@ def _int8_matmul_1x1(x_q, x_scale, w_q, w_scales, bias):
     return out.reshape(n, h, w, cout)
 
 
-def _int8_conv3x3(x_q, x_scale, w_q, w_scales, bias):
-    """3x3 SAME stride-1 conv as int8 MXU dots.
+def _int8_conv3x3(x_q, x_scale, w_q, w_scales, bias, stride=1, rate=1):
+    """3x3 conv (conv2d_same padding semantics) as int8 MXU dots.
 
     Formulated as 9 shifted 1x1 matmuls accumulated in int32: XLA fuses
     each pad+slice into its dot's operand, and the MXU runs the dots at
     the int8 rate — no reliance on int8 convolution lowering, and no
-    9x im2col blow-up materialized in HBM.
+    9x im2col blow-up materialized in HBM. ``stride``/``rate`` follow
+    slim's ``conv2d_same`` (explicit pad + VALID), so outputs match the
+    float ``resnet.conv2d_same`` path spatially.
     """
     n, h, w, cin = x_q.shape
     cout = w_q.shape[-1]
-    padded = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    acc = jnp.zeros((n * h * w, cout), jnp.int32)
+    kernel_eff = 3 + 2 * (rate - 1)
+    pad_total = kernel_eff - 1
+    pad_beg = pad_total // 2
+    pad_end = pad_total - pad_beg
+    padded = jnp.pad(
+        x_q, ((0, 0), (pad_beg, pad_end), (pad_beg, pad_end), (0, 0))
+    )
+    h_out = (h + pad_total - kernel_eff) // stride + 1
+    w_out = (w + pad_total - kernel_eff) // stride + 1
+    acc = jnp.zeros((n * h_out * w_out, cout), jnp.int32)
     for dy in range(3):
         for dx in range(3):
-            window = jax.lax.dynamic_slice(
-                padded, (0, dy, dx, 0), (n, h, w, cin)
-            ).reshape(-1, cin)
+            oy, ox = dy * rate, dx * rate
+            window = padded[
+                :,
+                oy:oy + (h_out - 1) * stride + 1:stride,
+                ox:ox + (w_out - 1) * stride + 1:stride,
+                :,
+            ].reshape(-1, cin)
             acc = acc + jax.lax.dot_general(
                 window,
                 w_q[dy, dx],
@@ -112,7 +127,7 @@ def _int8_conv3x3(x_q, x_scale, w_q, w_scales, bias):
                 preferred_element_type=jnp.int32,
             )
     out = acc.astype(jnp.float32) * (x_scale * w_scales) + bias
-    return out.reshape(n, h, w, cout)
+    return out.reshape(n, h_out, w_out, cout)
 
 
 class _ConvKernel(nn.Module):
@@ -155,14 +170,19 @@ class _BNInner(nn.Module):
 
 
 class Int8BottleneckV1(nn.Module):
-    """Int8 inference twin of ``resnet.BottleneckV1`` (stride 1, rate 1).
+    """Int8 inference twin of ``resnet.BottleneckV1``.
 
     Declares parameters under the exact names/shapes of the float
-    bottleneck so both paths share one checkpoint.
+    bottleneck so both paths share one checkpoint. ``stride``/``rate``
+    mirror the float unit (stride on the 3x3 conv and the shortcut,
+    conv2d_same padding semantics).
     """
 
     depth: int
     depth_bottleneck: int
+    stride: int = 1
+    rate: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -170,7 +190,13 @@ class Int8BottleneckV1(nn.Module):
         x_q, x_scale = quantize_per_tensor(x)
 
         if depth_in == self.depth:
-            shortcut = x.astype(jnp.float32)
+            if self.stride == 1:
+                shortcut = x.astype(jnp.float32)
+            else:
+                # float path uses max_pool((1,1), stride) == subsample.
+                shortcut = x[:, ::self.stride, ::self.stride, :].astype(
+                    jnp.float32
+                )
         else:
             sc_kernel = _ConvKernel(
                 (1, 1, depth_in, self.depth), name="shortcut"
@@ -178,7 +204,9 @@ class Int8BottleneckV1(nn.Module):
             sc_bn = _BNVars(self.depth, name="shortcut_bn")()
             k, b = fold_bn(sc_kernel, *sc_bn)
             k_q, k_s = quantize_weight_per_channel(k)
-            shortcut = _int8_matmul_1x1(x_q, x_scale, k_q, k_s, b)
+            shortcut = _int8_matmul_1x1(
+                x_q[:, ::self.stride, ::self.stride, :], x_scale, k_q, k_s, b
+            )
 
         k1 = _ConvKernel(
             (1, 1, depth_in, self.depth_bottleneck), name="conv1"
@@ -196,7 +224,9 @@ class Int8BottleneckV1(nn.Module):
         bn2 = _BNVars(self.depth_bottleneck, name="conv2_bn")()
         k, b = fold_bn(k2, *bn2)
         k_q, k_s = quantize_weight_per_channel(k)
-        residual = nn.relu(_int8_conv3x3(r_q, r_scale, k_q, k_s, b))
+        residual = nn.relu(_int8_conv3x3(
+            r_q, r_scale, k_q, k_s, b, stride=self.stride, rate=self.rate
+        ))
 
         r_q, r_scale = quantize_per_tensor(residual)
         k3 = _ConvKernel(
@@ -207,7 +237,7 @@ class Int8BottleneckV1(nn.Module):
         k_q, k_s = quantize_weight_per_channel(k)
         residual = _int8_matmul_1x1(r_q, r_scale, k_q, k_s, b)
 
-        return nn.relu(shortcut + residual)
+        return nn.relu(shortcut + residual).astype(self.dtype)
 
 
 class Int8ResNetTail(nn.Module):
@@ -233,3 +263,67 @@ class Int8ResNetTail(nn.Module):
                 name=f"block4/unit_{u}",
             )(x)
         return x.astype(self.dtype)
+
+
+class Int8ResNetTrunk(nn.Module):
+    """Int8 inference twin of ``resnet.ResNet`` (v1 only).
+
+    Same module names and parameter pytree as the float trunk, so either
+    path loads any checkpoint. The root 7x7 conv stays in float (3 input
+    channels — no MXU win, and keeping the first layer full-precision is
+    the standard post-training-quantization hygiene); every bottleneck
+    runs int8. Returns ``(feature_map, endpoints)`` like the float trunk.
+    """
+
+    depth: int = 101
+    version: int = 1
+    output_stride: Any = None
+    endpoint: Any = None
+    stride_first: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.version != 1:
+            raise ValueError("int8_trunk supports resnet v1 only")
+        endpoints = {}
+        x = x.astype(jnp.float32)
+
+        # Root: conv2d_same(7x7, stride 2) + folded BN + relu, in float.
+        kernel = _ConvKernel((7, 7, x.shape[-1], 64), name="conv1")()
+        bn = _BNVars(64, name="conv1_bn")()
+        k, b = fold_bn(kernel, *bn)
+        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        x = jax.lax.conv_general_dilated(
+            x, k, (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        x = nn.relu(x)
+        if self.stride_first:
+            x = jnp.pad(
+                x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                constant_values=-jnp.inf,
+            )
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        endpoints["root"] = x
+
+        for block_name, units in _plan_units(
+            RESNET_BLOCK_DEFS[self.depth], self.output_stride,
+            self.stride_first,
+        ):
+            for u, (base_depth, stride, rate) in enumerate(units, start=1):
+                x = Int8BottleneckV1(
+                    depth=base_depth * 4,
+                    depth_bottleneck=base_depth,
+                    stride=stride,
+                    rate=rate,
+                    name=f"{block_name}/unit_{u}",
+                )(x)
+            endpoints[block_name] = x
+            if self.endpoint == block_name:
+                return x.astype(self.dtype), endpoints
+
+        raise ValueError(
+            f"int8_trunk requires a block endpoint; got {self.endpoint!r} "
+            f"(expected one of {sorted(n for n in endpoints if n != 'root')})"
+        )
