@@ -84,7 +84,7 @@ def bench_frcnn_inference(batch=8, height=608, width=800, iters=10,
     }
 
 
-def bench_ssd_inference(batch=32, iters=10):
+def bench_ssd_inference(batch=32, iters=10, overrides=()):
     import jax
     import jax.numpy as jnp
 
@@ -93,7 +93,7 @@ def bench_ssd_inference(batch=32, iters=10):
         Config, get_base_config, get_model_config,
     )
 
-    cfg = get_model_config(get_base_config(SSD), Config({}), [])
+    cfg = get_model_config(get_base_config(SSD), Config({}), list(overrides))
     cfg.model.network.num_classes = 20  # Pascal VOC
 
     model = SSD(cfg, dtype=jnp.bfloat16)
@@ -666,6 +666,9 @@ def main():
                 "model.base_network.int8_tail=True",
                 "model.base_network.int8_trunk=True",
             ],
+        )
+        detail["ssd_inference_int8"] = bench_ssd_inference(
+            overrides=["model.base_network.int8_trunk=True"]
         )
         frcnn = frcnn or int8
     if only in ("all", "ssd"):

@@ -89,27 +89,48 @@ def _int8_matmul_1x1(x_q, x_scale, w_q, w_scales, bias):
     return out.reshape(n, h, w, cout)
 
 
-def _int8_conv3x3(x_q, x_scale, w_q, w_scales, bias, stride=1, rate=1):
-    """3x3 conv (conv2d_same padding semantics) as int8 MXU dots.
+def _conv_pads(size, kernel_eff, stride, padding):
+    """(pad_beg, pad_end, out_size) for one spatial dim.
+
+    ``conv2d_same``: slim's explicit symmetric pad + VALID (stride-
+    independent total of ``kernel_eff - 1``), used by the ResNet trunk.
+    ``same``: TF/XLA SAME (``out = ceil(size/stride)``, minimal total,
+    extra pixel on the end), used by ``nn.Conv(padding="SAME")`` — the
+    VGG/SSD float path. The two agree at stride 1.
+    ``valid``: no padding.
+    """
+    if padding == "conv2d_same":
+        pad_total = kernel_eff - 1
+    elif padding == "same":
+        out = -(-size // stride)
+        pad_total = max((out - 1) * stride + kernel_eff - size, 0)
+    elif padding == "valid":
+        pad_total = 0
+    else:
+        raise ValueError(f"Unknown padding {padding!r}")
+    pad_beg = pad_total // 2
+    pad_end = pad_total - pad_beg
+    out = (size + pad_total - kernel_eff) // stride + 1
+    return pad_beg, pad_end, out
+
+
+def _int8_conv3x3(x_q, x_scale, w_q, w_scales, bias, stride=1, rate=1,
+                  padding="conv2d_same"):
+    """3x3 conv as int8 MXU dots.
 
     Formulated as 9 shifted 1x1 matmuls accumulated in int32: XLA fuses
     each pad+slice into its dot's operand, and the MXU runs the dots at
     the int8 rate — no reliance on int8 convolution lowering, and no
-    9x im2col blow-up materialized in HBM. ``stride``/``rate`` follow
-    slim's ``conv2d_same`` (explicit pad + VALID), so outputs match the
-    float ``resnet.conv2d_same`` path spatially.
+    9x im2col blow-up materialized in HBM. ``padding`` picks the spatial
+    semantics (see ``_conv_pads``): ``conv2d_same`` matches the float
+    ``resnet.conv2d_same`` path, ``same``/``valid`` match ``nn.Conv``.
     """
     n, h, w, cin = x_q.shape
     cout = w_q.shape[-1]
     kernel_eff = 3 + 2 * (rate - 1)
-    pad_total = kernel_eff - 1
-    pad_beg = pad_total // 2
-    pad_end = pad_total - pad_beg
-    padded = jnp.pad(
-        x_q, ((0, 0), (pad_beg, pad_end), (pad_beg, pad_end), (0, 0))
-    )
-    h_out = (h + pad_total - kernel_eff) // stride + 1
-    w_out = (w + pad_total - kernel_eff) // stride + 1
+    ph0, ph1, h_out = _conv_pads(h, kernel_eff, stride, padding)
+    pw0, pw1, w_out = _conv_pads(w, kernel_eff, stride, padding)
+    padded = jnp.pad(x_q, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
     acc = jnp.zeros((n * h_out * w_out, cout), jnp.int32)
     for dy in range(3):
         for dx in range(3):

@@ -54,6 +54,11 @@ class SSDFeatureExtractor(nn.Module):
                 'Invalid SSD architecture "{}"'.format(architecture)
             )
 
+        if self.config.get("int8_trunk") and not train:
+            # Opt-in serving profile twin (same parameter pytree; see
+            # quantized_extractor.py). Inert in training.
+            return self._int8_maps(images)
+
         _, endpoints = VGG16(truncated=True, dtype=self.dtype, name="vgg_16")(
             images, train=train
         )
@@ -99,3 +104,52 @@ class SSDFeatureExtractor(nn.Module):
         feature_maps.append(net)
 
         return feature_maps
+
+    def _int8_maps(self, images):
+        """Serving-only int8 recomputation of the float path above.
+
+        Declares the identical parameter pytree (shared ``vgg_16`` /
+        ``conv*`` / ``conv4_3_norm`` names), so either path loads any
+        checkpoint. Only one branch ever traces, so the reused names
+        never collide.
+        """
+        from luminoth_tpu.models.ssd.quantized_extractor import (
+            Int8VGG16, _ConvParams, int8_conv,
+        )
+
+        conv4_3, conv5_3 = Int8VGG16(name="vgg_16")(images)
+        feature_maps = [
+            L2Normalize(name="conv4_3_norm", dtype=jnp.float32)(conv4_3)
+        ]
+
+        def conv(x, features, kernel, name, stride=1, rate=1,
+                 padding="SAME"):
+            k, b = _ConvParams((kernel, kernel, x.shape[-1], features),
+                               name=name)()
+            return nn.relu(int8_conv(
+                x, k, b, stride=stride, rate=rate,
+                padding=padding.lower(),
+            ))
+
+        net = nn.max_pool(conv5_3, (3, 3), strides=(1, 1), padding="SAME")
+        net = conv(net, 1024, 3, "conv6", rate=6)
+        net = conv(net, 1024, 1, "conv7")
+        feature_maps.append(net)
+
+        net = conv(net, 256, 1, "conv8_1")
+        net = conv(net, 512, 3, "conv8_2", stride=2)
+        feature_maps.append(net)
+
+        net = conv(net, 128, 1, "conv9_1")
+        net = conv(net, 256, 3, "conv9_2", stride=2)
+        feature_maps.append(net)
+
+        net = conv(net, 128, 1, "conv10_1")
+        net = conv(net, 256, 3, "conv10_2", padding="VALID")
+        feature_maps.append(net)
+
+        net = conv(net, 128, 1, "conv11_1")
+        net = conv(net, 256, 3, "conv11_2", padding="VALID")
+        feature_maps.append(net)
+
+        return [f.astype(self.dtype) for f in feature_maps]
