@@ -117,7 +117,7 @@ class SSDFeatureExtractor(nn.Module):
             Int8VGG16, _ConvParams, int8_conv,
         )
 
-        conv4_3, conv5_3 = Int8VGG16(name="vgg_16")(images)
+        conv4_3, conv5_3 = Int8VGG16(dtype=self.dtype, name="vgg_16")(images)
         feature_maps = [
             L2Normalize(name="conv4_3_norm", dtype=jnp.float32)(conv4_3)
         ]

@@ -74,12 +74,16 @@ class Int8VGG16(nn.Module):
 
     Same module names and parameter pytree as the float trunk under the
     shared ``vgg_16`` scope. Returns ``(conv4_3, conv5_3)`` — the two
-    endpoints the SSD extractor consumes — as float32.
+    endpoints the SSD extractor consumes — as float32. The unquantized
+    ``conv1``/``conv2`` stages run in ``dtype`` (bf16 when serving),
+    like the float path would.
     """
+
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = x.astype(jnp.float32)
+        x = x.astype(self.dtype)
         conv4_3 = None
         for reps, features, stage in _STAGES:
             for i in range(1, reps + 1):
@@ -89,9 +93,10 @@ class Int8VGG16(nn.Module):
                 )()
                 if stage in _FLOAT_STAGES:
                     x = jax.lax.conv_general_dilated(
-                        x, kernel.astype(jnp.float32), (1, 1), "SAME",
+                        x.astype(self.dtype), kernel.astype(self.dtype),
+                        (1, 1), "SAME",
                         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    ) + bias.astype(jnp.float32)
+                    ) + bias.astype(self.dtype)
                 else:
                     x = int8_conv(x, kernel, bias)
                 x = nn.relu(x)

@@ -1,18 +1,20 @@
 """Measure the mAP cost of the int8 serving profiles.
 
-Trains the 4-image synthetic overfit model (same recipe as
-scripts/overfit_fasterrcnn.py, which reached AP@[0.5:0.95]=0.85 at 3000
-steps) and then evaluates the SAME checkpoint three ways:
+Trains the 4-image synthetic overfit model (same recipes as
+scripts/overfit_fasterrcnn.py / overfit_ssd.py, which reached
+AP@[0.5:0.95] of 0.85 / 1.00) and then evaluates the SAME checkpoint
+under each serving profile:
 
 * float (the bf16/f32 serving default),
-* ``model.base_network.int8_tail: True``,
-* ``int8_tail + int8_trunk`` (full-int8 profile).
+* ``int8_tail`` (Faster R-CNN only),
+* ``int8_trunk`` / full-int8.
 
 Prints one JSON line with the AP table and the deltas vs float, giving
-the "few tenths of a point" claim in quantized_tail.py a measured
+the "few tenths of a point" post-training-quantization claim a measured
 number on this hardware.
 
-Usage: python scripts/int8_accuracy.py [steps]   (default 3000)
+Usage: python scripts/int8_accuracy.py [frcnn|ssd] [steps]
+(defaults: frcnn, 3000 / ssd 2500)
 """
 import copy
 import io
@@ -24,47 +26,85 @@ import tempfile
 import numpy as np
 from PIL import Image
 
-steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+family = sys.argv[1] if len(sys.argv) > 1 else "frcnn"
+default_steps = {"frcnn": 3000, "ssd": 2500}[family]
+steps = int(sys.argv[2]) if len(sys.argv) > 2 else default_steps
 
 tmp = tempfile.mkdtemp()
 from luminoth_tpu.formats.example_pb import encode_sequence_example
 from luminoth_tpu.formats.tfrecord import TFRecordWriter
 
+side = 160 if family == "frcnn" else 300
+s = side / 160.0
 with TFRecordWriter(os.path.join(tmp, "train.tfrecords")) as w:
     for i in range(4):
-        arr = np.full((160, 160, 3), 30, np.uint8)
-        x0, y0 = 10 + 20 * i, 15 + 10 * i
-        arr[y0:y0 + 50, x0:x0 + 50] = 250
-        x1, y1 = 90 - 5 * i, 95 - 8 * i
-        arr[y1:y1 + 40, x1:x1 + 60, 0] = 200
-        boxes = [[x0, y0, x0 + 50, y0 + 50, 0], [x1, y1, x1 + 60, y1 + 40, 1]]
+        arr = np.full((side, side, 3), 30, np.uint8)
+        x0, y0 = int((10 + 20 * i) * s), int((15 + 10 * i) * s)
+        d0 = int(50 * s)
+        arr[y0:y0 + d0, x0:x0 + d0] = 250
+        x1, y1 = int((90 - 5 * i) * s), int((95 - 8 * i) * s)
+        dx, dy = int(60 * s), int(40 * s)
+        arr[y1:y1 + dy, x1:x1 + dx, 0] = 200
+        boxes = [[x0, y0, x0 + d0, y0 + d0, 0], [x1, y1, x1 + dx, y1 + dy, 1]]
         buf = io.BytesIO()
         Image.fromarray(arr).save(buf, format="PNG")
         w.write(encode_sequence_example(
             {"image_raw": buf.getvalue(), "filename": f"i{i}.png".encode(),
-             "width": 160, "height": 160, "depth": 3},
+             "width": side, "height": side, "depth": 3},
             {"label": [[b[4]] for b in boxes],
              "xmin": [[b[0]] for b in boxes], "ymin": [[b[1]] for b in boxes],
              "xmax": [[b[2]] for b in boxes], "ymax": [[b[3]] for b in boxes]}))
 
-from luminoth_tpu.models.fasterrcnn import FasterRCNN
 from luminoth_tpu.utils.config import (
     Config, get_base_config, get_model_config, to_plain,
 )
 from luminoth_tpu import train as train_module
 
-cfg = get_model_config(get_base_config(FasterRCNN), Config({}), [])
-cfg.model.network.num_classes = 2
-cfg.model.base_network.architecture = "resnet_v1_50"
-cfg.model.rpn.proposals.pre_nms_top_n = 1024
-cfg.model.rpn.proposals.post_nms_top_n = 128
-cfg.model.rpn.target.minibatch_size = 64
-cfg.model.rcnn.target.minibatch_size = 32
-cfg.model.rcnn.proposals.total_max_detections = 8
-cfg.model.rcnn.proposals.class_max_detections = 8
-cfg.model.rcnn.proposals.min_prob_threshold = 0.0
+if family == "frcnn":
+    from luminoth_tpu.models.fasterrcnn import FasterRCNN as Model
+
+    cfg = get_model_config(get_base_config(Model), Config({}), [])
+    cfg.model.network.num_classes = 2
+    cfg.model.base_network.architecture = "resnet_v1_50"
+    cfg.model.rpn.proposals.pre_nms_top_n = 1024
+    cfg.model.rpn.proposals.post_nms_top_n = 128
+    cfg.model.rpn.target.minibatch_size = 64
+    cfg.model.rcnn.target.minibatch_size = 32
+    cfg.model.rcnn.proposals.total_max_detections = 8
+    cfg.model.rcnn.proposals.class_max_detections = 8
+    cfg.model.rcnn.proposals.min_prob_threshold = 0.0
+    cfg.dataset.image_preprocessing = Config(
+        {"min_size": side, "max_size": side}
+    )
+    cfg.train.learning_rate = Config({
+        "decay_method": "piecewise_constant",
+        "boundaries": [steps // 2, (steps * 4) // 5],
+        "values": [3e-4, 1e-4, 3e-5],
+    })
+    profiles = {
+        "float": {},
+        "int8_tail": {"int8_tail": True},
+        "int8_full": {"int8_tail": True, "int8_trunk": True},
+    }
+else:
+    from luminoth_tpu.models.ssd import SSD as Model
+
+    cfg = get_model_config(get_base_config(Model), Config({}), [])
+    cfg.model.network.num_classes = 2
+    cfg.model.proposals.min_prob_threshold = 0.0
+    cfg.train.learning_rate = Config({
+        "decay_method": "piecewise_constant",
+        "boundaries": [(steps * 12) // 25, (steps * 4) // 5],
+        "values": [1e-3, 3e-4, 1e-4],
+    })
+    profiles = {
+        "float": {},
+        "int8_trunk": {"int8_trunk": True},
+    }
+
 cfg.dataset.dir = tmp
-cfg.dataset.image_preprocessing = Config({"min_size": 160, "max_size": 160})
 cfg.dataset.max_gt_boxes = 8
 cfg.dataset.data_augmentation = []
 cfg.train.batch_size = 4
@@ -74,11 +114,6 @@ cfg.train.run_name = "int8_acc"
 cfg.train.save_checkpoint_secs = 10 ** 9
 cfg.train.save_summaries_secs = 10 ** 9
 cfg.train.log_every_steps = 200
-cfg.train.learning_rate = Config({
-    "decay_method": "piecewise_constant",
-    "boundaries": [steps // 2, (steps * 4) // 5],
-    "values": [3e-4, 1e-4, 3e-5],
-})
 cfg.train.clip_by_norm = True
 cfg.train.optimizer = Config({"type": "momentum", "momentum": 0.9})
 cfg.train.seed = 1
@@ -96,20 +131,15 @@ if state.batch_stats:
     variables["batch_stats"] = state.batch_stats
 cfg.train.random_shuffle = False
 
-profiles = {
-    "float": {},
-    "int8_tail": {"int8_tail": True},
-    "int8_full": {"int8_tail": True, "int8_trunk": True},
-}
 table = {}
 for name, flags in profiles.items():
     pcfg = copy.deepcopy(cfg)
     for k, v in flags.items():
         pcfg.model.base_network[k] = v
-    metrics = evaluate_once(pcfg, FasterRCNN(to_plain(pcfg)), variables)
+    metrics = evaluate_once(pcfg, Model(to_plain(pcfg)), variables)
     table[name] = {k: round(float(v), 4) for k, v in metrics.items()}
 
-result = {"steps": steps, "profiles": table}
+result = {"family": family, "steps": steps, "profiles": table}
 base = table["float"]
 result["delta_vs_float"] = {
     name: {k: round(t[k] - base[k], 4) for k in t}
