@@ -72,7 +72,15 @@ def load_checkpoint_variables(config):
 class PredictorNetwork:
     """Loads a model + checkpoint and predicts objects in images."""
 
-    def __init__(self, config, variables=None, class_labels=None):
+    def __init__(self, config, variables=None, class_labels=None,
+                 mesh="auto"):
+        """``mesh``: ``"auto"`` spans every visible device with a 1-D
+        data mesh (single-device setups are unaffected); ``None`` forces
+        single-device; or pass an explicit ``jax.sharding.Mesh``.
+        Batches round up to a device multiple, so serving throughput
+        scales over a pod slice with no API change (the reference ran
+        one sess.run per image on one device, predicting.py:110-112).
+        """
         from luminoth_tpu.utils.compilation_cache import warm_start
 
         warm_start()  # persistent compile cache + async first-fetch
@@ -83,9 +91,24 @@ class PredictorNetwork:
         self._canvas = canvas_shape(config)
         if variables is None:
             variables = load_checkpoint_variables(config)
+        if mesh == "auto":
+            if jax.device_count() > 1:
+                from luminoth_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(num_devices=jax.device_count())
+            else:
+                mesh = None
+        self._mesh = mesh
         # Pin the weights on device once — passing host arrays into the
         # jitted forward would re-transfer the whole model every call.
-        self._variables = jax.device_put(variables)
+        if mesh is not None:
+            from luminoth_tpu.parallel.mesh import replicate_sharding
+
+            self._variables = jax.device_put(
+                variables, replicate_sharding(mesh)
+            )
+        else:
+            self._variables = jax.device_put(variables)
         self.class_labels = class_labels
 
         transfer = str(config.dataset.get("transfer_dtype", "float32"))
@@ -93,7 +116,6 @@ class PredictorNetwork:
             np.uint8 if transfer == "uint8" else np.float32
         )
 
-        @jax.jit
         def forward(variables, image, im_shape):
             if image.dtype == jnp.uint8:
                 image = image.astype(jnp.float32)
@@ -103,7 +125,18 @@ class PredictorNetwork:
             cp = preds["classification_prediction"]
             return cp["objects"], cp["labels"], cp["probs"], cp["valid"]
 
-        self._forward = forward
+        if mesh is None:
+            self._forward = jax.jit(forward)
+        else:
+            from luminoth_tpu.parallel.mesh import (
+                batch_sharding, replicate_sharding,
+            )
+
+            repl = replicate_sharding(mesh)
+            data = batch_sharding(mesh)
+            self._forward = jax.jit(
+                forward, in_shardings=(repl, data, data)
+            )
 
     def predict_image(self, image):
         """Detect objects in one RGB ndarray image.
@@ -161,6 +194,10 @@ class PredictorNetwork:
             scales.append(result["scale_factor"])
 
         batch = n if pad_to is None else max(pad_to, n)
+        if self._mesh is not None:
+            # Round up to a device multiple so the batch shards evenly.
+            size = self._mesh.size
+            batch = -(-batch // size) * size
         while len(padded_images) < batch:
             padded_images.append(padded_images[-1])
             shapes.append(shapes[-1])
