@@ -391,6 +391,23 @@ def eval(dataset_split, config_files, watch, from_global_step,
     except Exception:
         pass
 
+    watch_checkpoints(
+        config, model, run_dir, watch=watch,
+        from_global_step=from_global_step, writer=writer,
+        forward=forward, files_per_class=files_per_class, mesh=mesh,
+    )
+
+
+def watch_checkpoints(config, model, run_dir, watch=True,
+                      from_global_step=None, writer=None, forward=None,
+                      files_per_class=0, mesh=None):
+    """Evaluate each new checkpoint in ``run_dir`` (the eval loop body).
+
+    reference: eval.py:168-223 — the same watch semantics, incl.
+    tolerating partially-written checkpoints (eval.py:205-215): an
+    unreadable newest file is retried (it may still be mid-transfer);
+    unreadable older files are skipped (they will never heal).
+    """
     from flax import serialization
     from luminoth_tpu.utils.checkpoint_io import CheckpointManager
 
@@ -410,6 +427,20 @@ def eval(dataset_split, config_files, watch, from_global_step,
                     state = serialization.msgpack_restore(f.read())
             except FileNotFoundError:
                 continue  # checkpoint rotated away while watching
+            except Exception as e:
+                if watch and step == steps[-1]:
+                    logger.warning(
+                        "Checkpoint step %d unreadable (%s); retrying",
+                        step, e,
+                    )
+                    time.sleep(5)
+                    break
+                logger.warning(
+                    "Checkpoint step %d unreadable (%s); skipping",
+                    step, e,
+                )
+                last_step = step
+                continue
             variables = {"params": state["params"]}
             if state.get("batch_stats"):
                 variables["batch_stats"] = state["batch_stats"]

@@ -12,6 +12,7 @@ Replaces the reference's ``tf.train.Saver`` machinery (train.py:93-129):
 """
 
 import json
+import logging
 import os
 import re
 
@@ -20,6 +21,8 @@ import numpy as np
 from flax import serialization
 
 CHECKPOINT_PREFIX = "ckpt_step_"
+
+logger = logging.getLogger(__name__)
 
 
 class CheckpointManager:
@@ -78,10 +81,49 @@ class CheckpointManager:
         return serialization.from_state_dict(state_template, merged)
 
     def restore_latest(self, state_template, ignore_scope=None):
-        step = self.latest_step()
-        if step is None:
-            return None
-        return self.restore(state_template, step, ignore_scope=ignore_scope)
+        """Restore the newest readable checkpoint.
+
+        An unreadable newest file (truncated copy, interrupted transfer
+        from remote storage — our own saves are atomic) falls back to
+        the next-older one, mirroring the reference's tolerant recovery
+        around partially-written checkpoints (eval.py:205-215). Raises
+        only if every existing checkpoint is unreadable; returns None
+        when there are none at all.
+        """
+        steps = self.all_steps()
+        last_err = None
+        for step in reversed(steps):
+            try:
+                return self.restore(
+                    state_template, step, ignore_scope=ignore_scope
+                )
+            except Exception as e:  # corrupt/truncated: try older
+                last_err = e
+                logger.warning(
+                    "Checkpoint %s unreadable (%s); falling back to an "
+                    "older one", self._path(step), e,
+                )
+        if last_err is not None:
+            raise last_err
+        return None
+
+    def latest_state_dict(self):
+        """(raw state dict, step) of the newest readable checkpoint.
+
+        Same fallback semantics as :meth:`restore_latest`, for callers
+        without a state template (the predictor). ``(None, None)`` when
+        nothing is readable.
+        """
+        for step in reversed(self.all_steps()):
+            try:
+                with open(self._path(step), "rb") as f:
+                    return serialization.msgpack_restore(f.read()), step
+            except Exception as e:
+                logger.warning(
+                    "Checkpoint %s unreadable (%s); falling back to an "
+                    "older one", self._path(step), e,
+                )
+        return None, None
 
 
 def _merge_state(template, restored, ignore_scope, path=""):

@@ -12,7 +12,6 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import serialization
 
 from luminoth_tpu.datasets.object_detection_dataset import (
     canvas_shape,
@@ -42,7 +41,7 @@ def load_checkpoint_variables(config):
 
     from luminoth_tpu.utils.checkpoint_io import CheckpointManager
 
-    manager = None
+    state = None
     step = None
     for ckpt_dir in (
         os.path.join(job_dir, run_name, "ckpt"),
@@ -51,17 +50,14 @@ def load_checkpoint_variables(config):
     ):
         if not os.path.isdir(ckpt_dir):
             continue
-        candidate = CheckpointManager(ckpt_dir)
-        step = candidate.latest_step()
-        if step is not None:
-            manager = candidate
+        # Falls back to an older checkpoint if the newest is unreadable.
+        state, step = CheckpointManager(ckpt_dir).latest_state_dict()
+        if state is not None:
             break
-    if manager is None or step is None:
+    if state is None:
         raise FileNotFoundError(
             f"no checkpoint found under {job_dir}"
         )
-    with open(manager._path(step), "rb") as f:
-        state = serialization.msgpack_restore(f.read())
     logger.info("Restored checkpoint at step %d from %s", step, ckpt_dir)
     variables = {"params": state["params"]}
     if state.get("batch_stats"):
