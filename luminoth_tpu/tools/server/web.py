@@ -23,6 +23,8 @@ logger = logging.getLogger(__name__)
 PREDICTOR_NETWORK = None
 NETWORK_START_THREAD = None
 MIN_PROB_FOR_FRONTEND = 0.01
+BATCH_SIZE = 8
+BATCH_WAIT_MS = 2.0
 
 
 def _template_path():
@@ -65,7 +67,15 @@ def start_network(config, class_labels):
     global PREDICTOR_NETWORK
     from luminoth_tpu.utils.predicting import PredictorNetwork
 
-    PREDICTOR_NETWORK = PredictorNetwork(config, class_labels=class_labels)
+    network = PredictorNetwork(config, class_labels=class_labels)
+    if BATCH_SIZE > 1:
+        # Coalesce concurrent requests into one device forward.
+        from luminoth_tpu.utils.serving import MicroBatcher
+
+        network = MicroBatcher(
+            network, max_batch=BATCH_SIZE, max_wait_ms=BATCH_WAIT_MS
+        )
+    PREDICTOR_NETWORK = network
     logger.info("Model loaded and ready to serve.")
 
 
@@ -188,9 +198,20 @@ def run_server(config, class_labels=None, host="127.0.0.1", port=5000,
     help="Override model config params.")
 @click.option("--host", default="127.0.0.1", help="Hostname to listen on.")
 @click.option("--port", default=5000, type=int, help="Port to listen to.")
+@click.option(
+    "--batch-size", default=8, type=int,
+    help="Coalesce up to this many concurrent requests per device "
+         "forward (1 disables batching).")
+@click.option(
+    "--batch-wait-ms", default=2.0, type=float,
+    help="How long to wait for more requests to join a batch.")
 @click.option("--debug", is_flag=True, help="Set debug level logging.")
-def web(config_files, checkpoint, override_params, host, port, debug):
+def web(config_files, checkpoint, override_params, host, port, batch_size,
+        batch_wait_ms, debug):
     logging.basicConfig(level=logging.DEBUG if debug else logging.INFO)
+    global BATCH_SIZE, BATCH_WAIT_MS
+    BATCH_SIZE = batch_size
+    BATCH_WAIT_MS = batch_wait_ms
 
     if config_files:
         from luminoth_tpu.utils.config import get_config
