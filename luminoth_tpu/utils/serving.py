@@ -103,4 +103,9 @@ class MicroBatcher:
 
     def close(self):
         self._closed = True
+        with self._lock:
+            pending, self._pending = self._pending, []
+        for ticket in pending:  # don't strand un-popped waiters
+            ticket.error = RuntimeError("MicroBatcher closed")
+            ticket.event.set()
         self._wakeup.set()
