@@ -611,6 +611,12 @@ def _probe_device(timeout_s=420):
 def main():
     ok, why = _probe_device()
     if not ok:
+        # One retry after a cool-down: a wedged tunnel session sometimes
+        # gets reaped server-side within minutes (observed: killing a
+        # client mid-creation wedges the pool for later processes).
+        time.sleep(120)
+        ok, why = _probe_device()
+    if not ok:
         print(json.dumps({
             "metric": "fasterrcnn_r101_coco_inference_throughput",
             "value": 0.0,
