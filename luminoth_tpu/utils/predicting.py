@@ -122,7 +122,23 @@ class PredictorNetwork:
             return cp["objects"], cp["labels"], cp["probs"], cp["valid"]
 
         if mesh is None:
-            self._forward = jax.jit(forward)
+            # Single device: serve through the AOT executable cache so a
+            # fresh process skips tracing AND compiling for shapes it has
+            # served before (see utils/aot_cache.py).
+            import json
+
+            from luminoth_tpu.utils.aot_cache import AotCachedFunction
+
+            self._forward = AotCachedFunction(
+                forward,
+                key_material=json.dumps(
+                    {
+                        "model": to_plain(config.model),
+                        "dataset": to_plain(config.get("dataset", {})),
+                    },
+                    sort_keys=True, default=str,
+                ),
+            )
         else:
             from luminoth_tpu.parallel.mesh import (
                 batch_sharding, replicate_sharding,
