@@ -327,6 +327,30 @@ def evaluate_once(config, model, variables, writer=None, global_step=0,
     return metrics
 
 
+def apply_eval_config_mutations(config, dataset_split, max_detections=100):
+    """Evaluation-mode config mutations (reference eval.py:52-89).
+
+    Disables augmentation/shuffle, zeroes the score floor, and — for
+    Faster R-CNN — forces ``pre_nms_max_candidates=0``: reference eval
+    NMS-es ALL post-RPN proposals per class (eval.py:52-89 sets
+    min_prob=0; rcnn_proposal.py:77-135 never caps candidates). The 512
+    candidate cap in base_config is a serving profile only — eval must
+    run uncapped so the mAP measured here is reference-semantics mAP.
+    """
+    config.dataset.split = dataset_split
+    config.train.num_epochs = 1
+    config.dataset.data_augmentation = None
+    config.train.random_shuffle = False
+    if config.model.type == "fasterrcnn":
+        config.model.rcnn.proposals.total_max_detections = max_detections
+        config.model.rcnn.proposals.min_prob_threshold = 0.0
+        config.model.rcnn.proposals.pre_nms_max_candidates = 0
+    else:
+        config.model.proposals.total_max_detections = max_detections
+        config.model.proposals.min_prob_threshold = 0.0
+    return config
+
+
 @click.command(help="Evaluate trained (or training) models")
 @click.option(
     "dataset_split", "--split", default="val", help="Dataset split to use.")
@@ -357,17 +381,7 @@ def eval(dataset_split, config_files, watch, from_global_step,
     logging.basicConfig(level=logging.INFO)
     config = get_config(list(config_files), override_params=override_params)
 
-    # Evaluation-mode config mutations (reference eval.py:52-89).
-    config.dataset.split = dataset_split
-    config.train.num_epochs = 1
-    config.dataset.data_augmentation = None
-    config.train.random_shuffle = False
-    if config.model.type == "fasterrcnn":
-        config.model.rcnn.proposals.total_max_detections = max_detections
-        config.model.rcnn.proposals.min_prob_threshold = 0.0
-    else:
-        config.model.proposals.total_max_detections = max_detections
-        config.model.proposals.min_prob_threshold = 0.0
+    apply_eval_config_mutations(config, dataset_split, max_detections)
 
     model = get_model(config.model.type)(
         to_plain(config), dtype=model_dtype(config)

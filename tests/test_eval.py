@@ -166,3 +166,38 @@ def test_evaluate_once_covers_all_images(tmp_path):
     metrics = evaluate_once(config, None, None, forward=fake_forward)
     assert metrics["images"] == 7
     np.testing.assert_allclose(metrics["AP@0.5"], 1.0, atol=1e-9)
+
+
+class TestEvalConfigMutations:
+    """Pin reference-eval NMS candidate semantics (reference eval.py:52-89).
+
+    The 512 ``pre_nms_max_candidates`` default is a serving profile;
+    eval must NMS all proposals per class like the reference, so the
+    mutation helper must force the cap to 0 regardless of config.
+    """
+
+    def test_fasterrcnn_eval_uncaps_nms_candidates(self, tmp_path):
+        from luminoth_tpu.eval import apply_eval_config_mutations
+        from luminoth_tpu.utils.config import get_config
+
+        cfg_file = tmp_path / "c.yml"
+        cfg_file.write_text("model:\n  type: fasterrcnn\n")
+        config = get_config([str(cfg_file)])
+        assert config.model.rcnn.proposals.pre_nms_max_candidates == 512
+        apply_eval_config_mutations(config, "val", max_detections=100)
+        assert config.model.rcnn.proposals.pre_nms_max_candidates == 0
+        assert config.model.rcnn.proposals.min_prob_threshold == 0.0
+        assert config.model.rcnn.proposals.total_max_detections == 100
+        assert config.dataset.data_augmentation is None
+        assert config.train.num_epochs == 1
+
+    def test_ssd_eval_mutations(self, tmp_path):
+        from luminoth_tpu.eval import apply_eval_config_mutations
+        from luminoth_tpu.utils.config import get_config
+
+        cfg_file = tmp_path / "c.yml"
+        cfg_file.write_text("model:\n  type: ssd\n")
+        config = get_config([str(cfg_file)])
+        apply_eval_config_mutations(config, "val", max_detections=100)
+        assert config.model.proposals.min_prob_threshold == 0.0
+        assert config.model.proposals.total_max_detections == 100
