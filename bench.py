@@ -484,6 +484,72 @@ def bench_train_pipeline(batch=8, iters=10, warmup=2,
     return out
 
 
+def bench_loader_scaling(batch=8, workers=None, images_per_point=96):
+    """Loader-only throughput vs worker-process count (no device work).
+
+    Measures the full host prepare chain (TFRecord read → native parse →
+    JPEG decode → resize → canvas pad → batch) through the thread-pool
+    loader (workers=0) and the multi-process shared-memory loader
+    (datasets/parallel_loader.py) at each worker count. An 8-chip DP
+    mesh at ~48 img/s/chip training steps needs ~380 img/s of loading;
+    this curve shows where this host tops out (``host_cpus`` records
+    the core budget — scaling past it is impossible by construction).
+    """
+    import multiprocessing
+    import tempfile
+
+    from luminoth_tpu.datasets.object_detection_dataset import (
+        ObjectDetectionDataset,
+    )
+    from luminoth_tpu.models.fasterrcnn import FasterRCNN
+    from luminoth_tpu.utils.config import (
+        Config, get_base_config, get_model_config,
+    )
+
+    cpus = multiprocessing.cpu_count()
+    if workers is None:
+        # Sweep to 2x the core count (oversubscription point) — on a
+        # 1-core host that is (0, 1, 2); on 8 cores (0, 1, 2, 4, 8, 16).
+        # Spawning further procs on a saturated host proves nothing and
+        # costs bench wall-clock (each spawn re-imports numpy/PIL).
+        workers = sorted({0, 1} | {
+            w for w in (2, 4, 8, 16) if w <= 2 * cpus
+        })
+
+    tmp = tempfile.mkdtemp(prefix="lumi_bench_loader_")
+    _write_synthetic_coco_records(tmp, n=160)
+
+    cfg = get_model_config(get_base_config(FasterRCNN), Config({}), [])
+    cfg.dataset.dir = tmp
+    cfg.dataset.transfer_dtype = "uint8"
+    cfg.dataset.image_preprocessing = Config({
+        "min_size": 600, "max_size": 800,
+        "canvas_height": 608, "canvas_width": 800,
+    })
+    cfg.train.batch_size = batch
+    cfg.train.num_epochs = 50  # plenty; we stop after images_per_point
+
+    curve = {}
+    for w in workers:
+        dataset = ObjectDetectionDataset(
+            cfg, seed=0, num_worker_processes=w
+        )
+        it = iter(dataset)
+        next(it)  # absorb startup (spawn + first decode wave)
+        t0 = time.time()
+        n = 0
+        while n < images_per_point:
+            n += next(it)["image"].shape[0]
+        curve[str(w)] = round(n / (time.time() - t0), 1)
+        it.close()  # GeneratorExit → loader cleanup (stop workers/slabs)
+    return {
+        "images_per_sec_by_workers": curve,
+        "host_cpus": multiprocessing.cpu_count(),
+        "batch": batch,
+        "canvas": [608, 800],
+    }
+
+
 def bench_eval(batch=8, n_images=160):
     """The full streaming evaluator (`lumi eval` path): TFRecord read →
     decode → resize/pad → jitted forward+loss → host detections → 101-pt
@@ -693,6 +759,8 @@ def main():
             compute_step_ms=train_detail.get("step_ms"),
             h2d_clean_mbps=detail.get("h2d_clean_MBps"),
         )
+    if only in ("all", "pipeline", "loader"):
+        detail["loader_scaling"] = bench_loader_scaling(batch=batch)
 
     # Compose the eval loop's clean-transfer steady state (the tunnel
     # degrades its measured rate; real attachments don't — see

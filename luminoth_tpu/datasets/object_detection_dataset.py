@@ -219,7 +219,8 @@ class ObjectDetectionDataset:
 
     def __init__(self, config, shuffle=None, num_epochs=None,
                  augment=True, prefetch_batches=4, seed=None,
-                 num_workers=None, pad_final_batch=False):
+                 num_workers=None, pad_final_batch=False,
+                 num_worker_processes=None):
         self._config = config
         self._dataset_config = config.dataset
         self._batch_size = int(config.train.get("batch_size", 1))
@@ -237,6 +238,12 @@ class ObjectDetectionDataset:
         if num_workers is None:
             num_workers = int(config.dataset.get("num_workers", 4))
         self._num_workers = max(1, num_workers)
+        if num_worker_processes is None:
+            num_worker_processes = int(
+                config.dataset.get("num_worker_processes", 0)
+            )
+        self._num_procs = max(0, int(num_worker_processes))
+        self._record_stride = None
         # "uint8" ships quantized canvases to the device (4x less
         # host->device traffic); the train step casts back to float.
         transfer = str(config.dataset.get("transfer_dtype", "float32"))
@@ -269,22 +276,36 @@ class ObjectDetectionDataset:
 
         Per-record seeds keep augmentation deterministic under ``seed``
         while letting the parse/augment pool run examples concurrently.
+
+        ``_record_stride = (n, i)`` restricts the stream to records with
+        ``index % n == i`` — used by the multi-process loader to shard a
+        dataset with fewer files than workers (record framing is a cheap
+        byte walk next to JPEG decode, so re-reading files is fine).
         """
         rng = np.random.RandomState(self._seed)
         counter = 0
         base = self._seed if self._seed is not None else 0
+        stride = getattr(self, "_record_stride", None)
 
         def tag(record):
             nonlocal counter
             counter += 1
             return record, (base + counter) % (2**31)
 
+        def shard(records):
+            if stride is None:
+                return records
+            n, i = stride
+            return (
+                r for idx, r in enumerate(records) if idx % n == i
+            )
+
         for _ in range(self._num_epochs):
             files = list(self._files)
             if self._shuffle:
                 rng.shuffle(files)
             for path in files:
-                records = read_tfrecords(path)
+                records = shard(read_tfrecords(path))
                 if self._shuffle:
                     # Buffered shuffle (the reference's RandomShuffleQueue
                     # with capacity 100).
@@ -464,6 +485,35 @@ class ObjectDetectionDataset:
                 yield out
         # else: drop remainders (static batch shapes only).
 
+    def _iter_multiprocess(self):
+        """Iterate batches from a pool of worker processes.
+
+        Scales the prepare chain (parse → JPEG decode → augment →
+        resize → batch) across host cores; see
+        ``datasets/parallel_loader.py`` for the transport design.
+        """
+        from luminoth_tpu.datasets.parallel_loader import MultiprocessLoader
+        from luminoth_tpu.utils.config import to_plain
+
+        loader = MultiprocessLoader(
+            to_plain(self._config),
+            self._files,
+            num_workers=self._num_procs,
+            batch_size=self._batch_size,
+            buckets=self._buckets,
+            transfer_itemsize=np.dtype(self._transfer_dtype).itemsize,
+            dataset_kwargs={
+                "shuffle": self._shuffle,
+                "num_epochs": self._num_epochs,
+                "augment": self._augment,
+                "seed": self._seed,
+                "pad_final_batch": self._pad_final,
+                "threads_per_worker": 2,
+            },
+            prefetch_batches=self._prefetch,
+        )
+        return iter(loader)
+
     def __iter__(self):
         """Iterate batches with background prefetching.
 
@@ -472,6 +522,9 @@ class ObjectDetectionDataset:
         against a stop flag, and the consumer's ``finally`` sets the flag
         and drains the queue so no thread stays pinned on a full queue.
         """
+        if self._num_procs > 0:
+            yield from self._iter_multiprocess()
+            return
         q = queue.Queue(maxsize=self._prefetch)
         sentinel = object()
         stop = threading.Event()
