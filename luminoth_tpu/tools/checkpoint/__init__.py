@@ -32,10 +32,18 @@ from luminoth_tpu.utils.homedir import get_home
 CHECKPOINT_INDEX = "checkpoints.json"
 CHECKPOINT_PATH = "checkpoints"
 
-# Remote zoo index URL. No default: the reference's hosted checkpoints are
-# TF-format and not loadable here; point this at an index of native bundles
-# (produced by `lumi checkpoint create` + `export`).
-REMOTE_INDEX_URL = os.environ.get("LUMI_REMOTE_INDEX_URL", "")
+# Remote zoo index URL. No hosted default: the reference's hosted
+# checkpoints (reference: luminoth/tools/checkpoint/__init__.py:21-24)
+# are TF-format and not loadable here; point LUMI_REMOTE_INDEX_URL at an
+# index of native bundles — produced by `lumi checkpoint create` +
+# `export` + `build-index` (any http(s):// or file:// URL works, so a
+# shared filesystem or bucket mount can host a zoo with zero servers).
+REMOTE_INDEX_URL = ""
+
+
+def get_remote_index_url():
+    """Resolve the remote index URL at call time (env wins)."""
+    return os.environ.get("LUMI_REMOTE_INDEX_URL") or REMOTE_INDEX_URL
 
 
 def get_checkpoints_directory():
@@ -97,11 +105,12 @@ def fetch_remote_index():
     """Fetch the remote checkpoint index (requires network)."""
     import urllib.request
 
-    if not REMOTE_INDEX_URL:
+    url = get_remote_index_url()
+    if not url:
         raise RuntimeError(
             "No remote index configured; set LUMI_REMOTE_INDEX_URL."
         )
-    with urllib.request.urlopen(REMOTE_INDEX_URL, timeout=30) as resp:
+    with urllib.request.urlopen(url, timeout=30) as resp:
         remote = json.load(resp)
     db = read_checkpoint_db()
     # Drop stale remote entries, merge fresh ones.
@@ -464,6 +473,60 @@ def export(id_or_alias, output):
             json.dump(entry, f)
         tar.add(metadata_path, arcname=f"{entry['id']}/metadata.json")
     click.echo(f"Checkpoint {entry['id']} exported successfully.")
+
+
+def build_remote_index(tar_dir, base_url=None):
+    """Write an ``index.json`` describing the export tarballs in a dir.
+
+    Together with ``export`` this makes any directory a self-hostable
+    checkpoint zoo: point ``LUMI_REMOTE_INDEX_URL`` at the written index
+    (``file://`` for a shared filesystem, ``http(s)://`` if served) and
+    ``refresh``/``download`` resolve bundles from it — the native
+    counterpart of the reference's hosted index
+    (reference: luminoth/tools/checkpoint/__init__.py:21-24,270-332).
+
+    ``base_url`` rewrites each bundle URL's prefix (for serving the dir
+    at a different address); default is the tarballs' own ``file://``
+    absolute paths.
+    """
+    entries = []
+    for fname in sorted(os.listdir(tar_dir)):
+        if not fname.endswith(".tar"):
+            continue
+        path = os.path.join(tar_dir, fname)
+        root = fname[:-len(".tar")]
+        with tarfile.open(path) as tar:
+            try:
+                member = tar.extractfile(f"{root}/metadata.json")
+                entry = json.load(member)
+            except KeyError:
+                entry = {"id": root}
+        if base_url:
+            url = base_url.rstrip("/") + "/" + fname
+        else:
+            url = "file://" + os.path.abspath(path)
+        entry.update(url=url, source="remote", status="NOT_DOWNLOADED")
+        entries.append(entry)
+    index_path = os.path.join(tar_dir, "index.json")
+    with open(index_path, "w") as f:
+        json.dump({"checkpoints": entries}, f, indent=2)
+    return index_path
+
+
+@checkpoint.command(
+    "build-index",
+    help="Build a remote-index file (index.json) from exported tarballs, "
+         "making TAR_DIR a self-hostable checkpoint zoo.",
+)
+@click.argument("tar_dir")
+@click.option(
+    "--base-url", default=None,
+    help="URL prefix the tarballs will be served under (default: their "
+         "file:// paths).",
+)
+def build_index(tar_dir, base_url):
+    index_path = build_remote_index(tar_dir, base_url=base_url)
+    click.echo(f"Remote index written to {index_path}.")
 
 
 @checkpoint.command("import", help="Imports a checkpoint tar.")

@@ -182,6 +182,123 @@ def test_download_remote_checkpoint_unpacks_export_bundle(zoo_env, tmp_path):
     assert cfg.model.type == "fasterrcnn"
 
 
+@pytest.mark.slow
+def test_remote_zoo_cold_start(tmp_path, monkeypatch):
+    """The full self-hosted zoo path, cold: a publisher trains a model,
+    creates + exports a bundle and builds an index; a consumer with an
+    EMPTY home and only ``LUMI_REMOTE_INDEX_URL`` set runs
+    refresh → download → ``lumi predict --checkpoint <alias>``
+    (reference: luminoth/tools/checkpoint/__init__.py:270-332 — the
+    hosted-zoo workflow, here with zero egress via file:// URLs)."""
+    import io as io_mod
+
+    from PIL import Image
+
+    from luminoth_tpu import train as train_module
+    from luminoth_tpu.formats.example_pb import encode_sequence_example
+    from luminoth_tpu.formats.tfrecord import TFRecordWriter
+    from luminoth_tpu.tools.checkpoint import checkpoint, read_checkpoint_db
+    from luminoth_tpu.utils.config import get_base_config, get_model_config
+    from luminoth_tpu.models.fasterrcnn import FasterRCNN
+
+    # --- publisher side: tiny dataset + 1-step trained run ------------
+    monkeypatch.setenv("LUMI_HOME", str(tmp_path / "publisher_home"))
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    rng = np.random.RandomState(0)
+    with TFRecordWriter(str(data_dir / "train.tfrecords")) as w:
+        for i in range(2):
+            arr = rng.randint(0, 255, (80, 100, 3), dtype=np.uint8)
+            buf = io_mod.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG")
+            w.write(encode_sequence_example(
+                {"image_raw": buf.getvalue(),
+                 "filename": f"img{i}.jpg".encode(),
+                 "width": 100, "height": 80, "depth": 3},
+                {"label": [[0]], "xmin": [[10]], "ymin": [[10]],
+                 "xmax": [[40]], "ymax": [[40]]},
+            ))
+    with open(data_dir / "classes.json", "w") as f:
+        json.dump(["cat", "dog"], f)
+
+    cfg = get_model_config(get_base_config(FasterRCNN), Config({}), [])
+    cfg.model.network.num_classes = 2
+    cfg.model.base_network.architecture = "resnet_v1_50"
+    cfg.model.rpn.proposals.pre_nms_top_n = 64
+    cfg.model.rpn.proposals.post_nms_top_n = 16
+    cfg.model.rpn.target.minibatch_size = 32
+    cfg.model.rcnn.target.minibatch_size = 8
+    cfg.model.rcnn.proposals.total_max_detections = 5
+    cfg.model.rcnn.proposals.class_max_detections = 5
+    cfg.dataset.dir = str(data_dir)
+    cfg.dataset.image_preprocessing = Config(
+        {"min_size": 64, "max_size": 96})
+    cfg.dataset.max_gt_boxes = 8
+    cfg.dataset.data_augmentation = []
+    cfg.train.batch_size = 2
+    cfg.train.num_epochs = 1
+    cfg.train.job_dir = str(tmp_path / "jobs")
+    cfg.train.run_name = "zoorun"
+    cfg.train.save_checkpoint_secs = 0
+    cfg.train.save_summaries_secs = 100000
+    cfg.train.seed = 3
+    train_module.run(cfg, max_steps=1)
+
+    config_path = tmp_path / "config.yml"
+    with open(config_path, "w") as f:
+        f.write(dump_config(cfg))
+
+    runner = CliRunner()
+    result = runner.invoke(
+        checkpoint, ["create", str(config_path), "--alias", "fast"])
+    assert result.exit_code == 0, result.output
+    entry = read_checkpoint_db()["checkpoints"][0]
+
+    zoo_dir = tmp_path / "zoo"
+    zoo_dir.mkdir()
+    result = runner.invoke(
+        checkpoint, ["export", "fast", "--output", str(zoo_dir)])
+    assert result.exit_code == 0, result.output
+    result = runner.invoke(checkpoint, ["build-index", str(zoo_dir)])
+    assert result.exit_code == 0, result.output
+    index_path = zoo_dir / "index.json"
+    assert index_path.exists()
+    index = json.load(open(index_path))
+    assert index["checkpoints"][0]["id"] == entry["id"]
+    assert index["checkpoints"][0]["url"].startswith("file://")
+
+    # --- consumer side: empty home, only the index URL -----------------
+    monkeypatch.setenv("LUMI_HOME", str(tmp_path / "consumer_home"))
+    monkeypatch.setenv("LUMI_REMOTE_INDEX_URL", f"file://{index_path}")
+
+    result = runner.invoke(checkpoint, ["refresh"])
+    assert "refreshed" in result.output, result.output
+    result = runner.invoke(checkpoint, ["list"])
+    assert entry["id"] in result.output
+    assert "NOT_DOWNLOADED" in result.output
+
+    result = runner.invoke(checkpoint, ["download", "fast"])
+    assert "downloaded" in result.output, result.output
+
+    # the real user surface: predict by alias, cold
+    img_path = tmp_path / "query.jpg"
+    Image.fromarray(
+        rng.randint(0, 255, (80, 100, 3), dtype=np.uint8)
+    ).save(img_path)
+    out_path = tmp_path / "pred.json"
+    from luminoth_tpu.predict import predict as predict_cmd
+
+    result = runner.invoke(predict_cmd, [
+        str(img_path), "--checkpoint", "fast", "--min-prob", "0",
+        "-f", str(out_path),
+    ])
+    assert result.exit_code == 0, result.output
+    pred = json.loads(open(out_path).read().strip().splitlines()[-1])
+    assert pred["file"].endswith("query.jpg")
+    for obj in pred["objects"]:
+        assert obj["label"] in ("cat", "dog")
+
+
 def test_extractall_checked_rejects_escapes_and_links(tmp_path):
     """The pre-3.10.12 fallback must reject both path traversal and link
     members (a symlink extracted first can route a later member outside
