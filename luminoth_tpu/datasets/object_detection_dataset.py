@@ -31,6 +31,7 @@ import numpy as np
 from luminoth_tpu.datasets.exceptions import InvalidDataDirectory
 from luminoth_tpu.formats.example_pb import decode_sequence_example
 from luminoth_tpu.formats.native_example import parse_od_record
+from luminoth_tpu.utils import fileio
 from luminoth_tpu.formats.tfrecord import find_split_files, read_tfrecords
 from luminoth_tpu.utils.image import (
     apply_data_augmentation,
@@ -255,7 +256,7 @@ class ObjectDetectionDataset:
         self._transfer_dtype = np.uint8 if transfer == "uint8" else np.float32
 
         data_dir = self._dataset_config.dir
-        if not os.path.isdir(data_dir):
+        if not fileio.isdir(data_dir):
             raise InvalidDataDirectory(
                 "{} is not a valid directory".format(data_dir)
             )

@@ -18,6 +18,7 @@ import numpy as np
 from luminoth_tpu.datasets import get_dataset
 from luminoth_tpu.models import get_model
 from luminoth_tpu.ops.np_boxes import bbox_overlap
+from luminoth_tpu.utils import fileio
 from luminoth_tpu.utils.config import get_config, to_plain
 from luminoth_tpu.utils.training import model_dtype
 
@@ -126,8 +127,8 @@ def get_checkpoints(run_dir, last_step=0):
     """New checkpoint steps in the run dir since ``last_step``."""
     from luminoth_tpu.utils.checkpoint_io import CheckpointManager
 
-    ckpt_dir = os.path.join(run_dir, "ckpt")
-    if not os.path.isdir(ckpt_dir):
+    ckpt_dir = fileio.join(run_dir, "ckpt")
+    if not fileio.isdir(ckpt_dir):
         return []
     manager = CheckpointManager(ckpt_dir)
     return [s for s in manager.all_steps() if s > last_step]
@@ -395,13 +396,22 @@ def eval(dataset_split, config_files, watch, from_global_step,
 
     job_dir = config.train.get("job_dir", "jobs/")
     run_name = config.train.get("run_name") or "default"
-    run_dir = os.path.join(job_dir, run_name)
+    run_dir = fileio.join(job_dir, run_name)
 
+    # tensorboardX only writes locally; remote job_dirs mirror their
+    # eval summaries under the toolkit home (same policy as train.py).
+    tb_dir = os.path.join(run_dir, dataset_split)
+    if fileio.is_remote(run_dir):
+        from luminoth_tpu.utils.homedir import get_home
+
+        tb_dir = os.path.join(
+            get_home(), "tensorboard", run_name, dataset_split
+        )
     writer = None
     try:
         from tensorboardX import SummaryWriter
 
-        writer = SummaryWriter(os.path.join(run_dir, dataset_split))
+        writer = SummaryWriter(tb_dir)
     except Exception:
         pass
 
@@ -425,7 +435,7 @@ def watch_checkpoints(config, model, run_dir, watch=True,
     from flax import serialization
     from luminoth_tpu.utils.checkpoint_io import CheckpointManager
 
-    manager = CheckpointManager(os.path.join(run_dir, "ckpt"))
+    manager = CheckpointManager(fileio.join(run_dir, "ckpt"))
     last_step = from_global_step or 0
 
     while True:
@@ -437,7 +447,7 @@ def watch_checkpoints(config, model, run_dir, watch=True,
             continue
         for step in steps:
             try:
-                with open(manager._path(step), "rb") as f:
+                with fileio.open_file(manager._path(step), "rb") as f:
                     state = serialization.msgpack_restore(f.read())
             except FileNotFoundError:
                 continue  # checkpoint rotated away while watching

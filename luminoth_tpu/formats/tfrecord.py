@@ -11,17 +11,17 @@ reference behavior replaced: ``tf.TFRecordReader`` + queue runners
 .TFRecordWriter`` (tools writers).
 """
 
-import os
 import struct
 
 from luminoth_tpu.formats.crc32c import masked_crc32c
+from luminoth_tpu.utils import fileio
 
 
 class TFRecordWriter:
     """Write TFRecord files (with correct masked CRCs)."""
 
     def __init__(self, path):
-        self._file = open(path, "wb")
+        self._file = fileio.open_file(path, "wb")
 
     def write(self, data):
         data = bytes(data)
@@ -53,7 +53,7 @@ def read_tfrecords(path, verify=False):
     additionally checks the per-record data CRC (off by default for
     speed; the native CRC makes it cheap when enabled).
     """
-    with open(path, "rb") as f:
+    with fileio.open_file(path, "rb") as f:
         while True:
             header = f.read(12)
             if len(header) < 12:
@@ -77,13 +77,16 @@ def read_tfrecords(path, verify=False):
 
 
 def find_split_files(data_dir, split):
-    """Locate record files for a split (``{split}.tfrecords`` or shards)."""
-    single = os.path.join(data_dir, f"{split}.tfrecords")
-    if os.path.exists(single):
-        return [single]
-    import glob
+    """Locate record files for a split (``{split}.tfrecords`` or shards).
 
-    shards = sorted(glob.glob(os.path.join(data_dir, f"{split}-*.tfrecords")))
+    ``data_dir`` may be a remote URL (``gs://…``): discovery and reads
+    both route through :mod:`luminoth_tpu.utils.fileio`.
+    """
+    single = fileio.join(data_dir, f"{split}.tfrecords")
+    if fileio.exists(single):
+        return [single]
+
+    shards = sorted(fileio.glob(fileio.join(data_dir, f"{split}-*.tfrecords")))
     if shards:
         return shards
     raise FileNotFoundError(

@@ -38,6 +38,7 @@ from luminoth_tpu.parallel import (
     replicate_sharding,
     shard_batch,
 )
+from luminoth_tpu.utils import fileio
 from luminoth_tpu.utils.config import get_config, to_plain
 from luminoth_tpu.utils.experiments import save_run
 from luminoth_tpu.utils.training import (
@@ -261,7 +262,7 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
 
     job_dir = train_cfg.get("job_dir", "jobs/")
     run_name = train_cfg.get("run_name") or "default"
-    run_dir = os.path.join(job_dir, run_name)
+    run_dir = fileio.join(job_dir, run_name)
     no_log = bool(train_cfg.get("no_log"))
     is_chief = jax.process_index() == 0
 
@@ -338,7 +339,7 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
         from luminoth_tpu.utils.checkpoint_io import CheckpointManager
 
         manager = CheckpointManager(
-            os.path.join(run_dir, "ckpt"),
+            fileio.join(run_dir, "ckpt"),
             max_to_keep=int(train_cfg.get("checkpoints_max_keep", 1)),
         )
         restored = manager.restore_latest(
@@ -353,11 +354,20 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
 
     writer = None
     if not no_log and is_chief:
-        os.makedirs(run_dir, exist_ok=True)
+        fileio.makedirs(run_dir, exist_ok=True)
+        # tensorboardX writes through the local filesystem only; with a
+        # remote job_dir (gs://…) summaries land in a local mirror under
+        # the toolkit home instead (checkpoints still go remote).
+        tb_dir = run_dir
+        if fileio.is_remote(run_dir):
+            from luminoth_tpu.utils.homedir import get_home
+
+            tb_dir = os.path.join(get_home(), "tensorboard", run_name)
+            logger.info("Remote job_dir: writing summaries to %s", tb_dir)
         try:
             from tensorboardX import SummaryWriter
 
-            writer = SummaryWriter(run_dir)
+            writer = SummaryWriter(tb_dir)
         except Exception:
             writer = None
 

@@ -13,12 +13,13 @@ Replaces the reference's ``tf.train.Saver`` machinery (train.py:93-129):
 
 import json
 import logging
-import os
 import re
 
 import jax
 import numpy as np
 from flax import serialization
+
+from luminoth_tpu.utils import fileio
 
 CHECKPOINT_PREFIX = "ckpt_step_"
 
@@ -31,15 +32,17 @@ class CheckpointManager:
     def __init__(self, directory, max_to_keep=1):
         self.directory = directory
         self.max_to_keep = max_to_keep
-        os.makedirs(directory, exist_ok=True)
+        fileio.makedirs(directory, exist_ok=True)
 
     def _path(self, step):
-        return os.path.join(self.directory, f"{CHECKPOINT_PREFIX}{step}.msgpack")
+        return fileio.join(
+            self.directory, f"{CHECKPOINT_PREFIX}{step}.msgpack"
+        )
 
     def all_steps(self):
         steps = []
         pattern = re.compile(rf"{CHECKPOINT_PREFIX}(\d+)\.msgpack$")
-        for name in os.listdir(self.directory):
+        for name in fileio.listdir(self.directory):
             m = pattern.match(name)
             if m:
                 steps.append(int(m.group(1)))
@@ -53,22 +56,24 @@ class CheckpointManager:
         state = jax.device_get(state)
         data = serialization.to_bytes(state)
         tmp = self._path(step) + ".tmp"
-        with open(tmp, "wb") as f:
+        with fileio.open_file(tmp, "wb") as f:
             f.write(data)
-        os.replace(tmp, self._path(step))
-        with open(os.path.join(self.directory, "checkpoint"), "w") as f:
+        fileio.replace(tmp, self._path(step))
+        with fileio.open_file(
+            fileio.join(self.directory, "checkpoint"), "w"
+        ) as f:
             json.dump({"latest_step": step}, f)
         # Rotate.
         steps = self.all_steps()
         while len(steps) > self.max_to_keep:
             victim = steps.pop(0)
             try:
-                os.remove(self._path(victim))
+                fileio.remove(self._path(victim))
             except OSError:
                 pass
 
     def restore(self, state_template, step, ignore_scope=None):
-        with open(self._path(step), "rb") as f:
+        with fileio.open_file(self._path(step), "rb") as f:
             data = f.read()
         if not ignore_scope:
             return serialization.from_bytes(state_template, data)
@@ -116,7 +121,7 @@ class CheckpointManager:
         """
         for step in reversed(self.all_steps()):
             try:
-                with open(self._path(step), "rb") as f:
+                with fileio.open_file(self._path(step), "rb") as f:
                     return serialization.msgpack_restore(f.read()), step
             except Exception as e:
                 logger.warning(

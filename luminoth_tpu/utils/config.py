@@ -22,6 +22,8 @@ from collections.abc import Mapping
 
 import yaml
 
+from luminoth_tpu.utils import fileio
+
 REPLACE_KEY = "_replace"
 
 
@@ -96,7 +98,7 @@ def load_config_files(filename_or_filenames):
 
     config = Config()
     for filename in filenames:
-        with open(filename) as f:
+        with fileio.open_file(filename) as f:
             new_config = Config(yaml.safe_load(f) or {})
         config = merge_into(new_config, config, overwrite=True)
     return config

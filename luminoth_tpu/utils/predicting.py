@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from luminoth_tpu.utils import fileio
 from luminoth_tpu.datasets.object_detection_dataset import (
     canvas_shape,
     pad_to_canvas,
@@ -44,11 +45,11 @@ def load_checkpoint_variables(config):
     state = None
     step = None
     for ckpt_dir in (
-        os.path.join(job_dir, run_name, "ckpt"),
-        os.path.join(job_dir, "ckpt"),
+        fileio.join(job_dir, run_name, "ckpt"),
+        fileio.join(job_dir, "ckpt"),
         job_dir,
     ):
-        if not os.path.isdir(ckpt_dir):
+        if not fileio.isdir(ckpt_dir):
             continue
         # Falls back to an older checkpoint if the newest is unreadable.
         state, step = CheckpointManager(ckpt_dir).latest_state_dict()
