@@ -205,10 +205,15 @@ def predict_video(network, path, only_classes=None, ignore_classes=None,
 @click.option(
     "--batch-size", default=1, type=int,
     help="Images per device forward (directories/multi-file runs).")
+@click.option(
+    "--profile", default="accurate",
+    type=click.Choice(["accurate", "fast"]),
+    help="Serving profile: 'fast' = uint8 transfer + 6000/1000 proposal "
+         "budget (see utils/serving.py:apply_serving_profile).")
 @click.option("--debug", is_flag=True, help="Set debug level logging.")
 def predict(path_or_dir, config_files, checkpoint, override_params,
             output_path, save_media_to, min_prob, max_detections,
-            only_class, ignore_class, batch_size, debug):
+            only_class, ignore_class, batch_size, profile, debug):
     """``lumi predict`` entry point."""
     logging.basicConfig(level=logging.DEBUG if debug else logging.INFO)
 
@@ -241,6 +246,10 @@ def predict(path_or_dir, config_files, checkpoint, override_params,
 
     if override_params:
         config = override_config_params(config, override_params)
+
+    from luminoth_tpu.utils.serving import apply_serving_profile
+
+    config = apply_serving_profile(config, profile)
 
     # Filter bounding boxes according to the CLI flags.
     if config.model.type == "fasterrcnn":

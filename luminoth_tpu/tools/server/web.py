@@ -205,9 +205,15 @@ def run_server(config, class_labels=None, host="127.0.0.1", port=5000,
 @click.option(
     "--batch-wait-ms", default=2.0, type=float,
     help="How long to wait for more requests to join a batch.")
+@click.option(
+    "--profile", default="accurate",
+    type=click.Choice(["accurate", "fast"]),
+    help="Serving profile: 'fast' = uint8 transfer + 6000/1000 proposal "
+         "budget (measured 62 vs 34 img/s on v5e; see "
+         "utils/serving.py:apply_serving_profile).")
 @click.option("--debug", is_flag=True, help="Set debug level logging.")
 def web(config_files, checkpoint, override_params, host, port, batch_size,
-        batch_wait_ms, debug):
+        batch_wait_ms, profile, debug):
     logging.basicConfig(level=logging.DEBUG if debug else logging.INFO)
     global BATCH_SIZE, BATCH_WAIT_MS
     BATCH_SIZE = batch_size
@@ -237,6 +243,10 @@ def web(config_files, checkpoint, override_params, host, port, batch_size,
         from luminoth_tpu.utils.config import override_config_params
 
         config = override_config_params(config, override_params)
+
+    from luminoth_tpu.utils.serving import apply_serving_profile
+
+    config = apply_serving_profile(config, profile)
 
     # Force a low min-prob so the frontend slider can filter client-side
     # (reference web.py:96-104).

@@ -18,6 +18,40 @@ import time
 
 logger = logging.getLogger(__name__)
 
+SERVING_PROFILES = ("accurate", "fast")
+
+
+def apply_serving_profile(config, profile):
+    """Apply a named serving profile's knobs to a resolved config.
+
+    ``accurate`` (default): the reference's exact inference settings.
+    ``fast``: measured-speed serving at a small accuracy trade —
+      * ``dataset.transfer_dtype=uint8`` — 4x less host→device traffic,
+        pixels cast back on-chip (bit-exact after the on-chip cast);
+      * Faster R-CNN proposal budget 6000/1000 (detectron's default)
+        instead of the reference's 12000/2000: measured 62.2 vs 34.1
+        img/s on TPU v5e (BENCH_r02 serving1000) — the budget only
+        affects which low-scoring proposals survive to the RCNN stage.
+
+    int8 tail/trunk profiles are deliberately NOT part of ``fast``:
+    measured ~2x SLOWER than bf16 end to end on v5e via XLA today
+    (same-session A/B r3: FRCNN 16.7 vs 34.1 img/s, SSD 548 vs 959;
+    see STATUS.md). They remain opt-in config knobs
+    (``model.base_network.int8_tail`` / ``int8_trunk``).
+    """
+    if profile in (None, "", "accurate"):
+        return config
+    if profile != "fast":
+        raise ValueError(
+            f"unknown serving profile {profile!r}; "
+            f"choose from {SERVING_PROFILES}"
+        )
+    config.dataset.transfer_dtype = "uint8"
+    if config.model.type == "fasterrcnn":
+        config.model.rpn.proposals.pre_nms_top_n = 6000
+        config.model.rpn.proposals.post_nms_top_n = 1000
+    return config
+
 
 class _Ticket:
     __slots__ = ("image", "event", "result", "error")

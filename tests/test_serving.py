@@ -150,3 +150,33 @@ def test_server_start_network_wraps_in_batcher(monkeypatch):
     web_mod.start_network(config=None, class_labels=None)
     assert isinstance(web_mod.PREDICTOR_NETWORK, FakePredictor)
     web_mod.PREDICTOR_NETWORK = None
+
+
+def test_apply_serving_profile():
+    from luminoth_tpu.models.fasterrcnn import FasterRCNN
+    from luminoth_tpu.models.ssd import SSD
+    from luminoth_tpu.utils.config import (
+        Config, get_base_config, get_model_config,
+    )
+    from luminoth_tpu.utils.serving import apply_serving_profile
+
+    cfg = get_model_config(get_base_config(FasterRCNN), Config({}), [])
+    default_post = cfg.model.rpn.proposals.post_nms_top_n
+    cfg = apply_serving_profile(cfg, "accurate")
+    assert cfg.model.rpn.proposals.post_nms_top_n == default_post
+    assert cfg.dataset.transfer_dtype == "float32"
+
+    cfg = apply_serving_profile(cfg, "fast")
+    assert cfg.dataset.transfer_dtype == "uint8"
+    assert cfg.model.rpn.proposals.post_nms_top_n == 1000
+    assert cfg.model.rpn.proposals.pre_nms_top_n == 6000
+
+    # SSD has no RPN: profile only flips the transfer dtype
+    ssd_cfg = get_model_config(get_base_config(SSD), Config({}), [])
+    ssd_cfg = apply_serving_profile(ssd_cfg, "fast")
+    assert ssd_cfg.dataset.transfer_dtype == "uint8"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        apply_serving_profile(cfg, "warp9")
