@@ -76,17 +76,19 @@ def fold_bn(kernel, gamma, beta, mean, var, eps=_BN_EPS):
 
 
 def _int8_matmul_1x1(x_q, x_scale, w_q, w_scales, bias):
-    """(N, H, W, Cin) int8 × folded 1x1 kernel → float (N, H, W, Cout)."""
-    n, h, w, cin = x_q.shape
-    cout = w_q.shape[-1]
-    acc = jax.lax.dot_general(
-        x_q.reshape(-1, cin),
-        w_q.reshape(cin, cout),
-        (((1,), (0,)), ((), ())),
+    """(N, H, W, Cin) int8 × folded 1x1 kernel → float (N, H, W, Cout).
+
+    Uses the native int8 convolution lowering: measured on v5e (r3,
+    R=4000 ROI-tail shapes) it runs 1.3-1.5x the bf16 rate, where the
+    earlier reshape+``dot_general`` formulation failed to fuse its
+    int32→f32 epilogue and lost to bf16 outright.
+    """
+    acc = jax.lax.conv_general_dilated(
+        x_q, w_q.reshape(1, 1, *w_q.shape[-2:]), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    out = acc.astype(jnp.float32) * (x_scale * w_scales) + bias
-    return out.reshape(n, h, w, cout)
+    return acc.astype(jnp.float32) * (x_scale * w_scales) + bias
 
 
 def _conv_pads(size, kernel_eff, stride, padding):
@@ -116,39 +118,29 @@ def _conv_pads(size, kernel_eff, stride, padding):
 
 def _int8_conv3x3(x_q, x_scale, w_q, w_scales, bias, stride=1, rate=1,
                   padding="conv2d_same"):
-    """3x3 conv as int8 MXU dots.
+    """3x3 conv via XLA's native int8 convolution lowering.
 
-    Formulated as 9 shifted 1x1 matmuls accumulated in int32: XLA fuses
-    each pad+slice into its dot's operand, and the MXU runs the dots at
-    the int8 rate — no reliance on int8 convolution lowering, and no
-    9x im2col blow-up materialized in HBM. ``padding`` picks the spatial
-    semantics (see ``_conv_pads``): ``conv2d_same`` matches the float
-    ``resnet.conv2d_same`` path, ``same``/``valid`` match ``nn.Conv``.
+    Measured on v5e (r3 piecewise probe, (4000,7,7,512) tail shapes):
+    native int8 conv 5.4 ms vs bf16 8.0 ms vs the previous 9-shifted-
+    dots formulation's 23.7 ms — the decomposition materialized nine
+    int32 partial accumulators in HBM, swamping the MXU win, while the
+    native lowering keeps accumulation on-chip. ``padding`` picks the
+    spatial semantics (see ``_conv_pads``): ``conv2d_same`` matches the
+    float ``resnet.conv2d_same`` path, ``same``/``valid`` match
+    ``nn.Conv``; explicit pad + VALID keeps int arithmetic exact.
     """
     n, h, w, cin = x_q.shape
-    cout = w_q.shape[-1]
     kernel_eff = 3 + 2 * (rate - 1)
-    ph0, ph1, h_out = _conv_pads(h, kernel_eff, stride, padding)
-    pw0, pw1, w_out = _conv_pads(w, kernel_eff, stride, padding)
-    padded = jnp.pad(x_q, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
-    acc = jnp.zeros((n * h_out * w_out, cout), jnp.int32)
-    for dy in range(3):
-        for dx in range(3):
-            oy, ox = dy * rate, dx * rate
-            window = padded[
-                :,
-                oy:oy + (h_out - 1) * stride + 1:stride,
-                ox:ox + (w_out - 1) * stride + 1:stride,
-                :,
-            ].reshape(-1, cin)
-            acc = acc + jax.lax.dot_general(
-                window,
-                w_q[dy, dx],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-    out = acc.astype(jnp.float32) * (x_scale * w_scales) + bias
-    return out.reshape(n, h_out, w_out, cout)
+    ph0, ph1, _ = _conv_pads(h, kernel_eff, stride, padding)
+    pw0, pw1, _ = _conv_pads(w, kernel_eff, stride, padding)
+    acc = jax.lax.conv_general_dilated(
+        jnp.pad(x_q, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0))),
+        w_q, (stride, stride), "VALID",
+        rhs_dilation=(rate, rate),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (x_scale * w_scales) + bias
 
 
 class _ConvKernel(nn.Module):
