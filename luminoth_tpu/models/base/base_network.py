@@ -112,6 +112,7 @@ class TruncatedBaseNetwork(nn.Module):
                     stride_first=bool(
                         self.config.get("torchvision_compat")
                     ),
+                    static_scales=bool(self.config.get("int8_static")),
                     dtype=self.dtype,
                     name=self.architecture,
                 )(x)
@@ -178,6 +179,7 @@ class BaseNetworkTail(nn.Module):
             return Int8ResNetTail(
                 depth=depth,
                 version=version,
+                static_scales=bool(self.config.get("int8_static")),
                 dtype=self.dtype,
                 name=architecture,
             )(roi_features)

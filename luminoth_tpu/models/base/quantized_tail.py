@@ -48,6 +48,39 @@ def quantize_per_tensor(x):
     return q.astype(jnp.int8), scale
 
 
+def activation_quant(module, x, name, static):
+    """Quantize an activation tensor, statically or dynamically.
+
+    Dynamic mode (default) computes ``max|x|`` on the fly — zero
+    calibration, but each quant point costs a full extra pass over the
+    tensor (measured ~5 ms on (4000,7,7,512) ROI activations, which is
+    what keeps dynamic int8 from beating bf16 on the FRCNN tail).
+
+    Static mode reads a calibrated per-point ``amax`` from the
+    ``int8_stats`` flax collection; the round/clip/cast then fuses into
+    the producing op's epilogue and the extra pass disappears.
+    Calibration = any forward with ``mutable=["int8_stats"]``: the
+    variable accumulates the running max (the forward itself still uses
+    the dynamic scale, so calibration outputs stay exact). The
+    predictor runs one automatically when ``int8_static`` is on.
+    """
+    if not static:
+        return quantize_per_tensor(x)
+    amax_v = module.variable(
+        "int8_stats", name, lambda: jnp.zeros((), jnp.float32)
+    )
+    if module.is_mutable_collection("int8_stats"):
+        cur = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        amax_v.value = jnp.maximum(amax_v.value, cur)
+        scale = jnp.maximum(cur, 1e-8) / 127.0
+    else:
+        scale = jnp.maximum(amax_v.value, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
 def quantize_weight_per_channel(w):
     """Symmetric int8 quantization with one scale per output channel.
 
@@ -195,12 +228,15 @@ class Int8BottleneckV1(nn.Module):
     depth_bottleneck: int
     stride: int = 1
     rate: int = 1
+    static_scales: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         depth_in = x.shape[-1]
-        x_q, x_scale = quantize_per_tensor(x)
+        x_q, x_scale = activation_quant(
+            self, x, "in_amax", self.static_scales
+        )
 
         if depth_in == self.depth:
             if self.stride == 1:
@@ -229,7 +265,9 @@ class Int8BottleneckV1(nn.Module):
         k_q, k_s = quantize_weight_per_channel(k)
         residual = nn.relu(_int8_matmul_1x1(x_q, x_scale, k_q, k_s, b))
 
-        r_q, r_scale = quantize_per_tensor(residual)
+        r_q, r_scale = activation_quant(
+            self, residual, "conv1_amax", self.static_scales
+        )
         k2 = _ConvKernel(
             (3, 3, self.depth_bottleneck, self.depth_bottleneck),
             name="conv2",
@@ -241,7 +279,9 @@ class Int8BottleneckV1(nn.Module):
             r_q, r_scale, k_q, k_s, b, stride=self.stride, rate=self.rate
         ))
 
-        r_q, r_scale = quantize_per_tensor(residual)
+        r_q, r_scale = activation_quant(
+            self, residual, "conv2_amax", self.static_scales
+        )
         k3 = _ConvKernel(
             (1, 1, self.depth_bottleneck, self.depth), name="conv3"
         )()
@@ -262,6 +302,7 @@ class Int8ResNetTail(nn.Module):
 
     depth: int = 101
     version: int = 1
+    static_scales: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -273,6 +314,7 @@ class Int8ResNetTail(nn.Module):
             x = Int8BottleneckV1(
                 depth=base_depth * 4,
                 depth_bottleneck=base_depth,
+                static_scales=self.static_scales,
                 name=f"block4/unit_{u}",
             )(x)
         return x.astype(self.dtype)
@@ -293,6 +335,7 @@ class Int8ResNetTrunk(nn.Module):
     output_stride: Any = None
     endpoint: Any = None
     stride_first: bool = False
+    static_scales: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -330,6 +373,7 @@ class Int8ResNetTrunk(nn.Module):
                     depth_bottleneck=base_depth,
                     stride=stride,
                     rate=rate,
+                    static_scales=self.static_scales,
                     name=f"{block_name}/unit_{u}",
                 )(x)
             endpoints[block_name] = x

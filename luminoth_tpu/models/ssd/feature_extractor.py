@@ -117,7 +117,10 @@ class SSDFeatureExtractor(nn.Module):
             Int8VGG16, _ConvParams, int8_conv,
         )
 
-        conv4_3, conv5_3 = Int8VGG16(dtype=self.dtype, name="vgg_16")(images)
+        static = bool(self.config.get("int8_static"))
+        conv4_3, conv5_3 = Int8VGG16(
+            static_scales=static, dtype=self.dtype, name="vgg_16"
+        )(images)
         feature_maps = [
             L2Normalize(name="conv4_3_norm", dtype=jnp.float32)(conv4_3)
         ]
@@ -129,6 +132,7 @@ class SSDFeatureExtractor(nn.Module):
             return nn.relu(int8_conv(
                 x, k, b, stride=stride, rate=rate,
                 padding=padding.lower(),
+                module=self, qname=f"{name}_amax", static=static,
             ))
 
         net = nn.max_pool(conv5_3, (3, 3), strides=(1, 1), padding="SAME")

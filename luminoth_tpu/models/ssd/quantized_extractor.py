@@ -33,6 +33,7 @@ from flax import linen as nn
 from luminoth_tpu.models.base.quantized_tail import (
     _int8_conv3x3,
     _int8_matmul_1x1,
+    activation_quant,
     quantize_per_tensor,
     quantize_weight_per_channel,
 )
@@ -57,9 +58,18 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
-def int8_conv(x, kernel, bias, stride=1, rate=1, padding="same"):
-    """Float-in/float-out int8 conv (+bias) for 1x1 or 3x3 kernels."""
-    x_q, x_scale = quantize_per_tensor(x)
+def int8_conv(x, kernel, bias, stride=1, rate=1, padding="same",
+              module=None, qname=None, static=False):
+    """Float-in/float-out int8 conv (+bias) for 1x1 or 3x3 kernels.
+
+    With ``module``/``qname``/``static`` the activation scale comes from
+    the calibrated ``int8_stats`` collection instead of an in-graph max
+    pass (see ``activation_quant``).
+    """
+    if module is not None:
+        x_q, x_scale = activation_quant(module, x, qname, static)
+    else:
+        x_q, x_scale = quantize_per_tensor(x)
     w_q, w_scales = quantize_weight_per_channel(kernel)
     if kernel.shape[0] == 1:
         return _int8_matmul_1x1(x_q, x_scale, w_q, w_scales, bias)
@@ -79,6 +89,7 @@ class Int8VGG16(nn.Module):
     like the float path would.
     """
 
+    static_scales: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -98,7 +109,11 @@ class Int8VGG16(nn.Module):
                         dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     ) + bias.astype(self.dtype)
                 else:
-                    x = int8_conv(x, kernel, bias)
+                    x = int8_conv(
+                        x, kernel, bias, module=self,
+                        qname=f"{stage}_{i}_amax",
+                        static=self.static_scales,
+                    )
                 x = nn.relu(x)
             if stage == "conv4":
                 conv4_3 = x

@@ -88,6 +88,11 @@ class PredictorNetwork:
         self._canvas = canvas_shape(config)
         if variables is None:
             variables = load_checkpoint_variables(config)
+        bn_cfg = config.model.base_network
+        if bool(bn_cfg.get("int8_static")) and (
+            bn_cfg.get("int8_tail") or bn_cfg.get("int8_trunk")
+        ) and "int8_stats" not in variables:
+            variables = self._calibrate_int8(variables)
         if mesh == "auto":
             if jax.device_count() > 1:
                 from luminoth_tpu.parallel.mesh import make_mesh
@@ -150,6 +155,78 @@ class PredictorNetwork:
             self._forward = jax.jit(
                 forward, in_shardings=(repl, data, data)
             )
+
+    def _calibrate_int8(self, variables):
+        """One-shot activation-range calibration for int8_static serving.
+
+        Runs the int8 forward with the ``int8_stats`` collection mutable
+        so each quant point records its running activation max; serving
+        then uses those static scales, eliminating the per-layer dynamic
+        max passes from the hot path (see
+        ``models/base/quantized_tail.py:activation_quant``).
+
+        Calibration inputs come from
+        ``model.base_network.int8_calibration_images`` (file paths, run
+        one at a time through the real preprocessing); without them one
+        synthetic random canvas is used — fine for bring-up, calibrate
+        on real data for accuracy-sensitive serving.
+        """
+        import logging
+
+        from luminoth_tpu.datasets.object_detection_dataset import (
+            pad_to_canvas, preprocess_image,
+        )
+
+        logger = logging.getLogger(__name__)
+        h, w = self._canvas
+        batches = []
+        for path in (
+            self._config.model.base_network.get(
+                "int8_calibration_images"
+            ) or []
+        ):
+            from luminoth_tpu.io import read_image
+
+            result = preprocess_image(
+                self._config, read_image(path).astype(np.float32)
+            )
+            padded, (ih, iw) = pad_to_canvas(result["image"], self._canvas)
+            batches.append((padded[None], [[float(ih), float(iw)]]))
+        if not batches:
+            logger.info(
+                "int8_static: calibrating on a synthetic canvas (set "
+                "model.base_network.int8_calibration_images for real-"
+                "data ranges)."
+            )
+            rng = np.random.RandomState(0)
+            batches = [(
+                rng.randint(0, 255, (1, h, w, 3)).astype(np.float32),
+                [[float(h), float(w)]],
+            )]
+
+        @jax.jit
+        def calibrate(variables, image, im_shape):
+            return self._model.apply(
+                variables, image, im_shape=im_shape, train=False,
+                mutable=["int8_stats"],
+            )
+
+        stats = None
+        for image, im_shape in batches:
+            v = dict(variables)
+            if stats is not None:
+                v["int8_stats"] = stats
+            _, updated = calibrate(
+                v, jnp.asarray(image),
+                jnp.asarray(im_shape, jnp.float32),
+            )
+            stats = updated["int8_stats"]
+        logger.info(
+            "int8_static: calibrated %d activation scale(s) over %d "
+            "image(s)",
+            len(jax.tree_util.tree_leaves(stats)), len(batches),
+        )
+        return {**variables, "int8_stats": stats}
 
     def predict_image(self, image):
         """Detect objects in one RGB ndarray image.

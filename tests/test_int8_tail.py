@@ -184,3 +184,100 @@ class TestInt8Tail:
             Int8ResNetTail(depth=50, version=2).init(
                 jax.random.PRNGKey(0), x
             )
+
+
+class TestStaticScales:
+    """int8_static: calibrated activation scales replace dynamic maxes."""
+
+    def _setup(self):
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (4, 7, 7, 256), jnp.float32) * 2.0
+        dyn = Int8ResNetTail(depth=50, version=1)
+        static = Int8ResNetTail(depth=50, version=1, static_scales=True)
+        variables = dyn.init(key, x)
+        variables = _randomized_stats(variables, jax.random.PRNGKey(3))
+        return dyn, static, variables, x
+
+    def test_calibrate_then_match_dynamic(self):
+        dyn, static, variables, x = self._setup()
+        ref = np.asarray(dyn.apply(variables, x), np.float32)
+
+        # calibration pass: collects per-point amax, output exact
+        out_cal, updated = static.apply(
+            variables, x, mutable=["int8_stats"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_cal, np.float32), ref, rtol=0, atol=1e-4
+        )
+        stats = updated["int8_stats"]
+        leaves = jax.tree_util.tree_leaves(stats)
+        assert len(leaves) >= 9  # 3 units x 3 quant points
+        assert all(float(v) > 0 for v in leaves)
+
+        # static serving on the SAME input: scales equal the recorded
+        # maxes, so quantization decisions match the dynamic path bit
+        # for bit
+        out_static = static.apply({**variables, "int8_stats": stats}, x)
+        np.testing.assert_allclose(
+            np.asarray(out_static, np.float32), ref, rtol=0, atol=1e-4
+        )
+
+    def test_static_tracks_dynamic_on_new_inputs(self):
+        dyn, static, variables, x = self._setup()
+        _, updated = static.apply(variables, x, mutable=["int8_stats"])
+        stats = updated["int8_stats"]
+
+        # a different (smaller-range) input: static scales are coarser
+        # than the per-input dynamic ones, but must stay close on the
+        # norm metrics the float-tracking test uses (per-tensor quant
+        # fidelity is norm-weighted by construction — small entries next
+        # to a large amax legitimately carry large pointwise error)
+        x2 = x * 0.7
+        ref = np.asarray(dyn.apply(variables, x2), np.float32)
+        out = np.asarray(
+            static.apply({**variables, "int8_stats": stats}, x2),
+            np.float32,
+        )
+        cos = float(
+            (ref * out).sum()
+            / (np.linalg.norm(ref) * np.linalg.norm(out) + 1e-9)
+        )
+        assert cos > 0.99, cos
+        rel = float(
+            np.linalg.norm(ref - out) / (np.linalg.norm(ref) + 1e-9)
+        )
+        assert rel < 0.15, rel
+
+    def test_predictor_auto_calibration(self, tmp_path):
+        """PredictorNetwork calibrates automatically when int8_static
+        is on and serves through the static path."""
+        from luminoth_tpu.models.fasterrcnn import FasterRCNN
+        from luminoth_tpu.utils.config import (
+            Config, get_base_config, get_model_config,
+        )
+        from luminoth_tpu.utils.predicting import PredictorNetwork
+
+        cfg = get_model_config(get_base_config(FasterRCNN), Config({}), [])
+        cfg.model.network.num_classes = 2
+        cfg.model.base_network.architecture = "resnet_v1_50"
+        cfg.model.base_network.int8_tail = True
+        cfg.model.base_network.int8_static = True
+        cfg.model.rpn.proposals.pre_nms_top_n = 64
+        cfg.model.rpn.proposals.post_nms_top_n = 16
+        cfg.model.rcnn.proposals.total_max_detections = 5
+        cfg.model.rcnn.proposals.class_max_detections = 5
+        cfg.dataset.image_preprocessing = Config(
+            {"min_size": 64, "max_size": 96})
+
+        model = FasterRCNN(cfg)
+        key = jax.random.PRNGKey(0)
+        variables = model.init(
+            key, jnp.zeros((1, 96, 96, 3)), train=False
+        )
+        network = PredictorNetwork(cfg, variables=variables, mesh=None)
+        assert "int8_stats" in network._variables
+        image = np.random.RandomState(1).randint(
+            0, 255, (80, 100, 3), dtype=np.uint8
+        )
+        objects = network.predict_image(image)
+        assert isinstance(objects, list)
