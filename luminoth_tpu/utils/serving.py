@@ -31,13 +31,18 @@ def apply_serving_profile(config, profile):
       * Faster R-CNN proposal budget 6000/1000 (detectron's default)
         instead of the reference's 12000/2000: measured 62.2 vs 34.1
         img/s on TPU v5e (BENCH_r02 serving1000) — the budget only
-        affects which low-scoring proposals survive to the RCNN stage.
-
-    int8 tail/trunk profiles are deliberately NOT part of ``fast``:
-    measured ~2x SLOWER than bf16 end to end on v5e via XLA today
-    (same-session A/B r3: FRCNN 16.7 vs 34.1 img/s, SSD 548 vs 959;
-    see STATUS.md). They remain opt-in config knobs
-    (``model.base_network.int8_tail`` / ``int8_trunk``).
+        affects which low-scoring proposals survive to the RCNN stage;
+      * int8 with static calibrated activation scales
+        (``int8_tail``/``int8_trunk`` + ``int8_static``): measured
+        +8-9% over bf16 on v5e once the compute path moved to native
+        int8 conv lowering and the calibration removed the dynamic
+        quant passes (FRCNN 36.8 vs 34.2 img/s at the parity budget,
+        SSD 1053 vs 963 — r3 A/Bs, STATUS.md). The predictor
+        calibrates automatically at load; set
+        ``model.base_network.int8_calibration_images`` for real-data
+        activation ranges. ΔAP measured ≈0 on the overfit evals
+        (``scripts/int8_accuracy.py``); expect tenths of a point on
+        real data, standard post-training quantization.
     """
     if profile in (None, "", "accurate"):
         return config
@@ -47,9 +52,13 @@ def apply_serving_profile(config, profile):
             f"choose from {SERVING_PROFILES}"
         )
     config.dataset.transfer_dtype = "uint8"
+    config.model.base_network.int8_static = True
     if config.model.type == "fasterrcnn":
         config.model.rpn.proposals.pre_nms_top_n = 6000
         config.model.rpn.proposals.post_nms_top_n = 1000
+        config.model.base_network.int8_tail = True
+    else:
+        config.model.base_network.int8_trunk = True
     return config
 
 

@@ -82,7 +82,7 @@ $LUMI checkpoint convert-detector "$CKPT_PREFIX" converted/ -c "$CFG"
 echo "==> evaluating on $DATA_DIR"
 # eval reads checkpoints from <job_dir>/<run_name>/ckpt; the converter
 # wrote converted/ckpt, so job_dir=$(pwd), run_name=converted.
-$LUMI eval --split val -c "$CFG" \
+$LUMI eval --split val --no-watch -c "$CFG" \
   -o train.job_dir="$(pwd)" \
   -o train.run_name=converted \
   -o dataset.dir="$DATA_DIR"

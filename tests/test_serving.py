@@ -170,11 +170,15 @@ def test_apply_serving_profile():
     assert cfg.dataset.transfer_dtype == "uint8"
     assert cfg.model.rpn.proposals.post_nms_top_n == 1000
     assert cfg.model.rpn.proposals.pre_nms_top_n == 6000
+    assert cfg.model.base_network.int8_tail is True
+    assert cfg.model.base_network.int8_static is True
 
-    # SSD has no RPN: profile only flips the transfer dtype
+    # SSD has no RPN: int8 trunk + uint8 transfer
     ssd_cfg = get_model_config(get_base_config(SSD), Config({}), [])
     ssd_cfg = apply_serving_profile(ssd_cfg, "fast")
     assert ssd_cfg.dataset.transfer_dtype == "uint8"
+    assert ssd_cfg.model.base_network.int8_trunk is True
+    assert ssd_cfg.model.base_network.int8_static is True
 
     import pytest
 
