@@ -87,6 +87,8 @@ if family == "frcnn":
         "float": {},
         "int8_tail": {"int8_tail": True},
         "int8_full": {"int8_tail": True, "int8_trunk": True},
+        # what --profile fast ships: static calibrated scales
+        "int8_tail_static": {"int8_tail": True, "int8_static": True},
     }
 else:
     from luminoth_tpu.models.ssd import SSD as Model
@@ -102,6 +104,7 @@ else:
     profiles = {
         "float": {},
         "int8_trunk": {"int8_trunk": True},
+        "int8_trunk_static": {"int8_trunk": True, "int8_static": True},
     }
 
 cfg.dataset.dir = tmp
@@ -136,7 +139,24 @@ for name, flags in profiles.items():
     pcfg = copy.deepcopy(cfg)
     for k, v in flags.items():
         pcfg.model.base_network[k] = v
-    metrics = evaluate_once(pcfg, Model(to_plain(pcfg)), variables)
+    pvars = variables
+    if flags.get("int8_static"):
+        # calibrate on one real (training) batch, like the predictor
+        import jax
+        import jax.numpy as jnp
+
+        from luminoth_tpu.datasets import ObjectDetectionDataset
+
+        ds = ObjectDetectionDataset(
+            pcfg, shuffle=False, num_epochs=1, augment=False
+        )
+        batch = next(iter(ds))
+        _, upd = Model(to_plain(pcfg)).apply(
+            variables, jnp.asarray(batch["image"], jnp.float32),
+            train=False, mutable=["int8_stats"],
+        )
+        pvars = {**variables, "int8_stats": upd["int8_stats"]}
+    metrics = evaluate_once(pcfg, Model(to_plain(pcfg)), pvars)
     table[name] = {k: round(float(v), 4) for k, v in metrics.items()}
 
 result = {"family": family, "steps": steps, "profiles": table}
