@@ -99,6 +99,23 @@ def _flops_of(fn, *args):
         return None
 
 
+def _maybe_calibrate_int8(model, variables, images, overrides):
+    """Calibrate int8_static activation scales (what --profile fast
+    serves): one forward with the int8_stats collection mutable, like
+    PredictorNetwork does at load."""
+    import jax
+
+    if not any("int8_static=True" in o for o in overrides):
+        return variables
+
+    @jax.jit
+    def calibrate(v, img):
+        return model.apply(v, img, train=False, mutable=["int8_stats"])
+
+    _, updated = calibrate(variables, images[:1])
+    return {**variables, "int8_stats": updated["int8_stats"]}
+
+
 def bench_frcnn_inference(batch=8, height=608, width=800, iters=10,
                           overrides=()):
     import jax
@@ -122,6 +139,7 @@ def bench_frcnn_inference(batch=8, height=608, width=800, iters=10,
     variables = jax.jit(
         lambda k: model.init(k, images[:1], train=False)
     )(key)
+    variables = _maybe_calibrate_int8(model, variables, images, overrides)
 
     @jax.jit
     def forward(variables, images):
@@ -161,6 +179,7 @@ def bench_ssd_inference(batch=32, iters=10, overrides=()):
     variables = jax.jit(
         lambda k: model.init(k, images[:1], train=False)
     )(key)
+    variables = _maybe_calibrate_int8(model, variables, images, overrides)
 
     @jax.jit
     def forward(variables, images):
@@ -806,13 +825,21 @@ def main():
         # serving `fast` profile therefore excludes int8 (STATUS.md).
         int8 = bench_frcnn_inference(
             batch=batch,
-            overrides=["model.base_network.int8_tail=True"],
+            overrides=["model.base_network.int8_tail=True",
+                       "model.base_network.int8_static=True"],
         )
         detail["fasterrcnn_inference_int8_tail"] = int8
         detail["ssd_inference_int8"] = bench_ssd_inference(
-            overrides=["model.base_network.int8_trunk=True"]
+            overrides=["model.base_network.int8_trunk=True",
+                       "model.base_network.int8_static=True"]
         )
         if only == "int8":
+            detail["fasterrcnn_inference_int8_dynamic"] = (
+                bench_frcnn_inference(
+                    batch=batch,
+                    overrides=["model.base_network.int8_tail=True"],
+                )
+            )
             detail["fasterrcnn_inference_int8_full"] = (
                 bench_frcnn_inference(
                     batch=batch,
