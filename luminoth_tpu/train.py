@@ -519,7 +519,15 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
             if manager is not None and is_chief and (
                 time.time() - last_save > save_secs
             ):
-                manager.save(state, step)
+                # Async by default: secures the (donated) state with an
+                # on-device copy, then fetches/serializes/writes on a
+                # background thread so the step loop never stalls on
+                # checkpoint IO. train.async_checkpoints: False reverts
+                # to the blocking save.
+                if train_cfg.get("async_checkpoints", True):
+                    manager.save_async(state, step)
+                else:
+                    manager.save(state, step)
                 last_save = time.time()
 
             for kind, hook, monitor in hooks:
@@ -548,6 +556,7 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
             except Exception:
                 pass
         if manager is not None and is_chief and step > 0:
+            manager.wait_for_async()
             manager.save(state, step)
         if writer is not None:
             writer.close()

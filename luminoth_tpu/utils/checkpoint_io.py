@@ -72,6 +72,50 @@ class CheckpointManager:
             except OSError:
                 pass
 
+    def save_async(self, state, step):
+        """Checkpoint without stalling the train loop.
+
+        The train step donates its input buffers, so ``state`` must be
+        secured before the next step dispatches — but that only needs an
+        ON-DEVICE copy (async, ~free next to a train step), not a
+        device→host fetch. The copy is enqueued here; the fetch,
+        serialization and file write run on a background thread while
+        training continues. One save in flight at a time: a new call
+        joins the previous one first (it has had a full save interval to
+        finish). Call :meth:`wait_for_async` before the final
+        synchronous save or before reading ``latest_step`` locally.
+        """
+        import threading
+
+        import jax.numpy as jnp
+
+        snapshot = jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
+            state,
+        )
+        self.wait_for_async()
+        thread = threading.Thread(
+            target=self._save_logged, args=(snapshot, step), daemon=True
+        )
+        self._async_thread = thread
+        thread.start()
+
+    def wait_for_async(self):
+        """Join the in-flight async save, if any."""
+        thread = getattr(self, "_async_thread", None)
+        if thread is not None:
+            thread.join()
+            self._async_thread = None
+
+    def _save_logged(self, snapshot, step):
+        try:
+            self.save(snapshot, step)
+        except Exception:
+            # A failed periodic save must not kill training; the next
+            # interval (or the final synchronous save) retries.
+            logger.exception("async checkpoint save at step %d failed",
+                             step)
+
     def restore(self, state_template, step, ignore_scope=None):
         with fileio.open_file(self._path(step), "rb") as f:
             data = f.read()

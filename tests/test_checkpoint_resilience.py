@@ -105,3 +105,24 @@ def test_eval_watch_skips_corrupt_older(tmp_path, monkeypatch):
         config=None, model=None, run_dir=run_dir, watch=False,
     )
     assert evaluated == [(10, 1.0), (30, 3.0)]
+
+
+def test_save_async_roundtrip(tmp_path):
+    """Async saves land loadable checkpoints, rotate, and serialize
+    (one in flight at a time; a new save joins the previous)."""
+    import numpy as np
+
+    from luminoth_tpu.utils.checkpoint_io import CheckpointManager
+
+    manager = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    template = {"step": 0, "w": np.zeros(4, np.float32)}
+    for step in (1, 2, 3):
+        state = {"step": step, "w": np.full(4, step, np.float32)}
+        manager.save_async(state, step)
+    manager.wait_for_async()
+    assert manager.all_steps() == [2, 3]
+    restored = manager.restore(template, 3)
+    assert restored["step"] == 3
+    np.testing.assert_array_equal(
+        restored["w"], np.full(4, 3, np.float32)
+    )
