@@ -130,7 +130,7 @@ def load_pretrained_backbone(params, batch_stats, config):
 
 
 def make_train_step(model, tx, mesh=None, train_batch_norm=False,
-                    remat=False):
+                    remat=False, reg_fn=None):
     """Build the jitted train step (sharded when a mesh is given).
 
     ``train_batch_norm`` updates running BN statistics during training
@@ -187,6 +187,16 @@ def make_train_step(model, tx, mesh=None, train_batch_norm=False,
             batch_stats=new_stats,
         )
         metrics = dict(losses)
+        if reg_fn is not None:
+            # Report totals the way the reference does: total_loss
+            # includes L2 regularization, no_reg_loss excludes it
+            # (reference: fasterrcnn.py:158-259). The optimization
+            # objective is unchanged — decay is applied by the
+            # optimizer; this only makes the curves comparable.
+            reg = reg_fn(state.params)
+            metrics["reg_loss"] = reg
+            metrics["no_reg_loss"] = losses["total_loss"]
+            metrics["total_loss"] = losses["total_loss"] + reg
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
@@ -319,10 +329,11 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
     trainable_mask = build_trainable_mask(params, config.model)
     from luminoth_tpu.utils.training import build_weight_decay_coefficients
 
+    decay_coeffs = build_weight_decay_coefficients(params, config.model)
     tx, lr_schedule = get_optimizer(
         train_cfg,
         trainable_mask=trainable_mask,
-        weight_decay=build_weight_decay_coefficients(params, config.model),
+        weight_decay=decay_coeffs,
         weight_decay_mask=build_weight_decay_mask(params),
     )
     opt_state = tx.init(params)
@@ -375,12 +386,15 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
         repl = replicate_sharding(mesh)
         state = jax.device_put(state, repl)
 
+    from luminoth_tpu.utils.training import l2_regularization_loss
+
     train_step = make_train_step(
         model, tx, mesh,
         train_batch_norm=bool(
             config.model.get("base_network", {}).get("train_batch_norm")
         ),
         remat=bool(train_cfg.get("remat")),
+        reg_fn=lambda p: l2_regularization_loss(p, decay_coeffs),
     )
 
     if is_chief and not no_log:

@@ -214,6 +214,32 @@ def build_trainable_mask(params, model_config):
     )
 
 
+def l2_regularization_loss(params, coefficients):
+    """The reference's reported L2 regularization term.
+
+    slim attaches ``l2_regularizer(scale)`` per module and sums
+    ``scale * ||w||^2 / 2`` into the train total
+    (reference: fasterrcnn.py:158-259 reports ``no_reg_loss`` =
+    total - regularization). Here decay is applied by the optimizer
+    (optax add_decayed_weights), so this term exists purely so the
+    reported ``total_loss``/``no_reg_loss`` curves mean the same thing
+    they do in the reference.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(
+            lambda w, c: (
+                0.5 * float(c) * jnp.sum(jnp.square(w.astype(jnp.float32)))
+                if c else jnp.zeros((), jnp.float32)
+            ),
+            params, coefficients,
+        )
+    )
+    return sum(leaves) if leaves else jnp.zeros((), jnp.float32)
+
+
 def build_weight_decay_mask(params):
     """Decay only kernel/weight matrices (not biases, scales, BN params)."""
     import jax

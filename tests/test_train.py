@@ -343,3 +343,46 @@ def test_remat_step_matches_plain_step():
     for a, b in zip(jax.tree_util.tree_leaves(params_plain),
                     jax.tree_util.tree_leaves(params_remat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_reg_loss_reporting_matches_reference_semantics():
+    """total_loss includes L2 regularization, no_reg_loss excludes it
+    (reference fasterrcnn.py:158-259); the optimization objective is
+    unchanged (decay applied by the optimizer)."""
+    import jax
+    import optax
+
+    from luminoth_tpu.train import TrainState, make_train_step
+    from luminoth_tpu.utils.training import l2_regularization_loss
+
+    model = MockModel(config={})
+    images = jnp.ones((2, 8, 8, 3))
+    gt = jnp.zeros((2, 4, 5))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, images, gt_boxes=gt, train=True
+    )
+    params = variables["params"]
+    coeffs = jax.tree_util.tree_map(lambda _: 0.01, params)
+    tx = optax.sgd(1e-3)
+    step = make_train_step(
+        model, tx, reg_fn=lambda p: l2_regularization_loss(p, coeffs)
+    )
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32), params=params,
+        opt_state=tx.init(params), batch_stats={},
+    )
+    # the step donates its state buffers: compute the expectation first
+    expect = 0.5 * 0.01 * sum(
+        float(jnp.sum(jnp.square(w)))
+        for w in jax.tree_util.tree_leaves(params)
+    )
+    _, metrics = step(
+        state, {"image": images, "gt_boxes": gt}, jax.random.PRNGKey(1)
+    )
+    reg = float(metrics["reg_loss"])
+    assert reg > 0
+    np.testing.assert_allclose(
+        float(metrics["total_loss"]),
+        float(metrics["no_reg_loss"]) + reg, rtol=1e-6,
+    )
+    np.testing.assert_allclose(reg, expect, rtol=1e-5)
