@@ -14,6 +14,23 @@ axis; the feature map block is re-used across programs (constant index
 map → it stays resident). Shape choices (ROI stacking into M, W-first
 contraction order, bf16 intermediate) are hardware-measured — see the
 kernel body.
+
+Measured decomposition at the parity shape (batch 8, R=2000, 38x50x1024
+fm, S=14; v5e): 74 ms total = 13 ms stage-1 matmul (K=W=50 caps MXU
+utilization at ~0.33) + ~12 ms per-ROI corner turns (inherent to
+separable interpolation: the second contraction needs H on sublanes)
++ ~37 ms second-stage matmuls (M=S=14 → each (14,38)@(38,S*C) dot is
+latency-bound, ~2.3 us vs a 0.24 us pass-bound floor) + pool/writes.
+Alternatives measured on hardware and REJECTED (all slower end to end):
+  * larger ROI tiles (tile_r 16/32): 82.5/84.4 ms — stage-2 cost is
+    per-ROI, stage-1 gains nothing past M=112;
+  * block-diagonal stage 2 (one (tile_r*S, tile_r*H) matmul per tile,
+    both in-kernel pads and XLA-precomputed): 84.7 ms; with 2- or
+    4-ROI blocks isolated stage-2 A/B still loses (7.9/8.5 vs 6.1 ms
+    per image) — the K-axis zero-padding waste grows faster than the
+    M-axis utilization gain at every block size;
+  * in-kernel jnp-padded block construction: lane-misaligned (offsets
+    of H=38) relayouts dominate.
 """
 
 from functools import partial

@@ -82,9 +82,19 @@ vt = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), vt)
 tail_fn = jax.jit(lambda v, x: tail.apply(v, x))
 timeit("tail(block4 on 2000 rois)", tail_fn, vt, flat)
 
-# Final per-class NMS (80 classes x 2000)
+# Final per-class NMS (80 classes x 2000) in BOTH shipped configurations:
+# the serving default caps candidates at 512 (presorted fast path); eval
+# forces the uncapped reference semantics (apply_eval_config_mutations).
 cls_prob = jax.nn.softmax(jax.random.normal(key, (B, 2000, 81)), axis=-1)
 bbox_pred = jax.random.normal(key, (B, 2000, 320)) * 0.1
 from luminoth_tpu.models.fasterrcnn.rcnn_proposal import rcnn_proposal
-fin_fn = jax.jit(jax.vmap(lambda p, d, c, v: rcnn_proposal(p, d, c, v, jnp.asarray([608.,800.]), 80, min_prob_threshold=0.5)))
-timeit("rcnn_proposal(80cls NMS)", fin_fn, rois, bbox_pred, cls_prob, prop["valid"])
+for label, cap, min_prob in (
+    ("serving cap512", 512, 0.5),
+    ("eval uncapped", 0, 0.0),
+):
+    fin_fn = jax.jit(jax.vmap(
+        lambda p, d, c, v, cap=cap, mp=min_prob: rcnn_proposal(
+            p, d, c, v, jnp.asarray([608., 800.]), 80,
+            min_prob_threshold=mp, pre_nms_max_candidates=cap)))
+    timeit(f"rcnn_proposal(80cls NMS, {label})",
+           fin_fn, rois, bbox_pred, cls_prob, prop["valid"])
