@@ -130,7 +130,7 @@ def load_pretrained_backbone(params, batch_stats, config):
 
 
 def make_train_step(model, tx, mesh=None, train_batch_norm=False,
-                    remat=False, reg_fn=None):
+                    remat=False, reg_fn=None, trainable_mask=None):
     """Build the jitted train step (sharded when a mesh is given).
 
     ``train_batch_norm`` updates running BN statistics during training
@@ -141,7 +141,26 @@ def make_train_step(model, tx, mesh=None, train_batch_norm=False,
     during the backward pass instead of keeping every activation live —
     ~1/3 more forward FLOPs for a large cut in peak HBM (and compiler
     scheduling pressure), unlocking larger per-chip batches.
+
+    ``trainable_mask`` (pytree of bools matching params) restricts
+    differentiation to the trainable partition, matching the reference's
+    ``compute_gradients(loss, var_list=trainable_vars)``
+    (reference: train.py:79-83 + base_network.py:211-241). Without it the
+    frozen subtree (``fine_tune_from``) would still get gradients computed
+    every step AND those gradients would inflate ``clip_by_global_norm``'s
+    norm relative to the reference. Frozen leaves get zero gradients, so
+    the optax chain (clip -> decay -> update) sees the same global norm
+    the reference clips by.
     """
+    from flax import traverse_util
+
+    trainable_keys = None
+    if trainable_mask is not None:
+        flat_mask = traverse_util.flatten_dict(trainable_mask)
+        if not all(flat_mask.values()):
+            trainable_keys = frozenset(
+                k for k, v in flat_mask.items() if v
+            )
 
     def train_step(state, batch, rng):
         if batch["image"].dtype == jnp.uint8:
@@ -173,11 +192,36 @@ def make_train_step(model, tx, mesh=None, train_batch_norm=False,
             losses = model.loss(preds, return_all=True)
             return losses["total_loss"], (losses, new_stats)
 
-        if remat:
-            loss_fn = jax.checkpoint(loss_fn)
-        (loss, (losses, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        if trainable_keys is not None:
+            # Differentiate wrt the trainable partition only: XLA then
+            # dead-code-eliminates the backward chain through the frozen
+            # early blocks entirely (they are upstream of everything
+            # trainable, so no input grads are needed either).
+            flat = traverse_util.flatten_dict(state.params)
+            flat_t = {k: v for k, v in flat.items() if k in trainable_keys}
+            flat_f = {k: v for k, v in flat.items()
+                      if k not in trainable_keys}
+
+            def loss_fn_trainable(flat_t):
+                return loss_fn(
+                    traverse_util.unflatten_dict({**flat_f, **flat_t})
+                )
+
+            if remat:
+                loss_fn_trainable = jax.checkpoint(loss_fn_trainable)
+            (loss, (losses, new_stats)), grads_t = jax.value_and_grad(
+                loss_fn_trainable, has_aux=True
+            )(flat_t)
+            grads = traverse_util.unflatten_dict({
+                **{k: jnp.zeros_like(v) for k, v in flat_f.items()},
+                **grads_t,
+            })
+        else:
+            if remat:
+                loss_fn = jax.checkpoint(loss_fn)
+            (loss, (losses, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -395,6 +439,7 @@ def run(config, get_model_fn=get_model, get_dataset_fn=get_dataset,
         ),
         remat=bool(train_cfg.get("remat")),
         reg_fn=lambda p: l2_regularization_loss(p, decay_coeffs),
+        trainable_mask=trainable_mask,
     )
 
     if is_chief and not no_log:

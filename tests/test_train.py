@@ -386,3 +386,113 @@ def test_reg_loss_reporting_matches_reference_semantics():
         float(metrics["no_reg_loss"]) + reg, rtol=1e-6,
     )
     np.testing.assert_allclose(reg, expect, rtol=1e-5)
+
+
+class TwoScopeModel(nn.Module):
+    """Trunk+head model for trainable-partition tests."""
+
+    @nn.compact
+    def __call__(self, images, gt_boxes=None, im_shape=None, train=False):
+        trunk = self.param(
+            "trunk_w", nn.initializers.constant(2.0), (3, 1)
+        )
+        head = self.param("head_v", nn.initializers.constant(1.5), (1,))
+        pooled = jnp.mean(images, axis=(1, 2))  # (B, 3)
+        out = (pooled @ trunk)[:, 0] * head[0]
+        return {"out": out}
+
+    def loss(self, preds, return_all=False):
+        loss = jnp.mean(jnp.square(preds["out"]))
+        if return_all:
+            return {"total_loss": loss}
+        return loss
+
+
+def test_trainable_mask_restricts_differentiation_and_clip_norm():
+    """Frozen params stay put AND stay out of clip_by_global_norm's norm,
+    matching the reference's compute_gradients(var_list=trainable_vars)
+    (reference train.py:79-83): gradients simply do not exist for frozen
+    variables, so they can neither move nor inflate the clip norm."""
+    import jax
+    import optax
+
+    model = TwoScopeModel()
+    images = np.random.RandomState(0).uniform(
+        0, 255, (2, 16, 16, 3)).astype(np.float32)
+    batch = {"image": jnp.asarray(images),
+             "gt_boxes": jnp.zeros((2, 4, 5))}
+    variables = model.init(jax.random.PRNGKey(0), images)
+    mask = {"trunk_w": False, "head_v": True}
+
+    # Full-diff gradients for the expectation.
+    def full_loss(p):
+        return model.loss(model.apply({"params": p}, images))
+
+    full_grads = jax.grad(full_loss)(variables["params"])
+    g_head = float(jnp.linalg.norm(full_grads["head_v"]))
+    g_full = float(optax.global_norm(full_grads))
+    assert g_full > g_head  # the trunk gradient is material
+
+    # Aggressive clip: the scale factor depends on which norm is used.
+    clip = g_head / 2.0
+    lr = 1.0
+    tx = optax.chain(optax.clip_by_global_norm(clip), optax.sgd(lr))
+
+    params = jax.tree_util.tree_map(jnp.array, variables["params"])
+    state = train_module.TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats={},
+    )
+    head_before = np.asarray(variables["params"]["head_v"])
+    step = train_module.make_train_step(model, tx, trainable_mask=mask)
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+
+    # Frozen trunk untouched; head moved.
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["trunk_w"]), 2.0
+    )
+    assert not np.allclose(np.asarray(state2.params["head_v"]), head_before)
+
+    # grad_norm reports the trainable-only norm.
+    np.testing.assert_allclose(float(metrics["grad_norm"]), g_head,
+                               rtol=1e-5)
+
+    # The clip scaled by the head-only norm (clip/g_head), NOT the full
+    # norm: update == -lr * g_head_vec * clip / g_head.
+    expected_head = head_before - lr * np.asarray(
+        full_grads["head_v"]) * (clip / g_head)
+    np.testing.assert_allclose(
+        np.asarray(state2.params["head_v"]), expected_head, rtol=1e-5
+    )
+
+
+def test_trainable_mask_all_true_matches_no_mask():
+    import jax
+    import optax
+
+    model = TwoScopeModel()
+    images = np.random.RandomState(1).uniform(
+        0, 255, (2, 16, 16, 3)).astype(np.float32)
+    batch = {"image": jnp.asarray(images),
+             "gt_boxes": jnp.zeros((2, 4, 5))}
+    variables = model.init(jax.random.PRNGKey(0), images)
+    tx = optax.sgd(1e-4)
+
+    def run(mask):
+        params = jax.tree_util.tree_map(jnp.array, variables["params"])
+        state = train_module.TrainState(
+            step=jnp.asarray(0, jnp.int32), params=params,
+            opt_state=tx.init(params), batch_stats={},
+        )
+        step = train_module.make_train_step(model, tx, trainable_mask=mask)
+        for _ in range(2):
+            state, _ = step(state, batch, jax.random.PRNGKey(1))
+        return state.params
+
+    p_none = run(None)
+    p_true = run({"trunk_w": True, "head_v": True})
+    for a, b in zip(jax.tree_util.tree_leaves(p_none),
+                    jax.tree_util.tree_leaves(p_true)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
