@@ -170,8 +170,10 @@ def build_trainable_mask(params, model_config):
     reference semantics (base_network.py:211-241,
     truncated_base_network.py:97-144):
     * ``base_network.trainable: False`` freezes the whole backbone;
-    * ``fine_tune_from: <endpoint>`` freezes everything up to (and
-      including) that endpoint in the backbone trunk;
+    * ``fine_tune_from: <scope>`` trains the variables STARTING FROM the
+      first one whose name contains the string — the named scope itself
+      is trainable, everything before it is frozen (reference
+      base_network.py:212-219: ``all_variables[index:]``);
     * ``freeze_tail: True`` freezes the block4 tail.
     """
     import jax
@@ -181,8 +183,25 @@ def build_trainable_mask(params, model_config):
     fine_tune_from = cfg.get("fine_tune_from")
     freeze_tail = cfg.get("freeze_tail", False)
 
-    # Order of resnet sub-scopes for the fine_tune_from boundary.
-    order = ["conv1", "block1", "block2", "block3", "block4"]
+    # Depth order of backbone sub-scopes for the fine_tune_from boundary.
+    # Only relative order within one family matters (a params tree holds
+    # either resnet block scopes or vgg conv/fc scopes, never both);
+    # "conv1" is shared and sits before every later stage in both.
+    order = ["conv1", "conv2", "conv3", "conv4", "conv5",
+             "fc6", "fc7", "fc8",
+             "block1", "block2", "block3", "block4"]
+
+    def scope_index(name):
+        """Depth index of the first order-scope appearing in ``name``."""
+        for part in name.split("/"):
+            if part in order:
+                return order.index(part)
+            stem = part.split("_")[0]  # conv4_3 -> conv4
+            if stem in order:
+                return order.index(stem)
+        return None
+
+    boundary = scope_index(fine_tune_from) if fine_tune_from else None
 
     def path_trainable(path):
         names = [getattr(p, "key", str(p)) for p in path]
@@ -197,16 +216,11 @@ def build_trainable_mask(params, model_config):
             return True
         if not trainable:
             return False
-        if fine_tune_from:
-            # Freeze everything up to and including fine_tune_from.
-            try:
-                boundary = order.index(fine_tune_from)
-            except ValueError:
-                return True
+        if boundary is not None:
             for name in names:
-                base = name.split("/")[0]
-                if base in order:
-                    return order.index(base) > boundary
+                idx = scope_index(name)
+                if idx is not None:
+                    return idx >= boundary
         return True
 
     return jax.tree_util.tree_map_with_path(

@@ -496,3 +496,80 @@ def test_trainable_mask_all_true_matches_no_mask():
     for a, b in zip(jax.tree_util.tree_leaves(p_none),
                     jax.tree_util.tree_leaves(p_true)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestBuildTrainableMask:
+    """reference get_trainable_vars semantics (base_network.py:211-241):
+    variables starting from the FIRST whose name contains fine_tune_from
+    are trainable — the named scope itself trains."""
+
+    def _mask(self, params, **base_cfg):
+        from luminoth_tpu.utils.training import build_trainable_mask
+
+        return build_trainable_mask(
+            params, Config({"base_network": base_cfg})
+        )
+
+    def test_resnet_boundary_is_inclusive(self):
+        leaf = np.zeros((1,))
+        params = {
+            "base_network": {
+                "conv1": {"kernel": leaf},
+                "block1": {"unit_1": {"conv1": {"kernel": leaf}}},
+                "block2": {"unit_1": {"conv2": {"kernel": leaf}}},
+                "block3": {"unit_1": {"conv3": {"kernel": leaf}}},
+            },
+            "base_network_tail": {"block4": {"kernel": leaf}},
+            "rpn": {"conv": {"kernel": leaf}},
+            "rcnn": {"cls": {"kernel": leaf}},
+        }
+        m = self._mask(params, fine_tune_from="block2")
+        assert m["base_network"]["conv1"]["kernel"] is False
+        assert m["base_network"]["block1"]["unit_1"]["conv1"]["kernel"] \
+            is False
+        # block2 itself trains (reference: all_variables[index:]).
+        assert m["base_network"]["block2"]["unit_1"]["conv2"]["kernel"] \
+            is True
+        assert m["base_network"]["block3"]["unit_1"]["conv3"]["kernel"] \
+            is True
+        assert m["base_network_tail"]["block4"]["kernel"] is True
+        assert m["rpn"]["conv"]["kernel"] is True
+        assert m["rcnn"]["cls"]["kernel"] is True
+
+    def test_freeze_tail_and_backbone(self):
+        leaf = np.zeros((1,))
+        params = {
+            "base_network": {"block3": {"kernel": leaf}},
+            "base_network_tail": {"block4": {"kernel": leaf}},
+            "rcnn": {"cls": {"kernel": leaf}},
+        }
+        m = self._mask(params, freeze_tail=True)
+        assert m["base_network_tail"]["block4"]["kernel"] is False
+        assert m["base_network"]["block3"]["kernel"] is True
+        m = self._mask(params, trainable=False)
+        assert m["base_network"]["block3"]["kernel"] is False
+        assert m["rcnn"]["cls"]["kernel"] is True
+
+    def test_vgg_stage_boundary(self):
+        leaf = np.zeros((1,))
+        params = {
+            "feature_extractor": {
+                "vgg": {
+                    "conv1/conv1_1": {"kernel": leaf},
+                    "conv3/conv3_2": {"kernel": leaf},
+                    "conv4/conv4_3": {"kernel": leaf},
+                    "conv5/conv5_3": {"kernel": leaf},
+                },
+                "conv6": {"kernel": leaf},
+            },
+            "multibox": {"cls_0": {"kernel": leaf}},
+        }
+        m = self._mask(params, fine_tune_from="conv4_3")
+        fe = m["feature_extractor"]["vgg"]
+        assert fe["conv1/conv1_1"]["kernel"] is False
+        assert fe["conv3/conv3_2"]["kernel"] is False
+        assert fe["conv4/conv4_3"]["kernel"] is True
+        assert fe["conv5/conv5_3"]["kernel"] is True
+        # extractor scopes outside the ordered trunk stay trainable
+        assert m["feature_extractor"]["conv6"]["kernel"] is True
+        assert m["multibox"]["cls_0"]["kernel"] is True
