@@ -573,3 +573,37 @@ class TestBuildTrainableMask:
         # extractor scopes outside the ordered trunk stay trainable
         assert m["feature_extractor"]["conv6"]["kernel"] is True
         assert m["multibox"]["cls_0"]["kernel"] is True
+
+
+def test_trainable_mask_composes_with_remat():
+    import jax
+    import optax
+
+    model = TwoScopeModel()
+    images = np.random.RandomState(2).uniform(
+        0, 255, (2, 16, 16, 3)).astype(np.float32)
+    batch = {"image": jnp.asarray(images),
+             "gt_boxes": jnp.zeros((2, 4, 5))}
+    variables = model.init(jax.random.PRNGKey(0), images)
+    mask = {"trunk_w": False, "head_v": True}
+    tx = optax.sgd(1e-4)
+
+    def run(remat):
+        params = jax.tree_util.tree_map(jnp.array, variables["params"])
+        state = train_module.TrainState(
+            step=jnp.asarray(0, jnp.int32), params=params,
+            opt_state=tx.init(params), batch_stats={},
+        )
+        step = train_module.make_train_step(
+            model, tx, remat=remat, trainable_mask=mask
+        )
+        for _ in range(2):
+            state, _ = step(state, batch, jax.random.PRNGKey(1))
+        return state.params
+
+    p_plain = run(False)
+    p_remat = run(True)
+    for a, b in zip(jax.tree_util.tree_leaves(p_plain),
+                    jax.tree_util.tree_leaves(p_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(p_remat["trunk_w"]), 2.0)
