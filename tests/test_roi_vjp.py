@@ -68,3 +68,56 @@ def test_vjp_with_pool():
 
 def test_vjp_with_pool_other_seed():
     check(pool=True, seed=3)
+
+
+def check_pallas_bwd(pool, dtype=jnp.float32, seed=0, b=2, n=7):
+    """The fused Pallas backward (interpret mode) matches the XLA path."""
+    from luminoth_tpu.ops.pallas.roi_align_kernel import (
+        _roi_align_bwd_pallas, _roi_align_bwd_xla,
+    )
+
+    rng = np.random.RandomState(seed)
+    fm = jnp.asarray(rng.randn(b, 10, 12, 8).astype(np.float32)).astype(dtype)
+    crop_size = 4
+    y1 = rng.uniform(0, 0.5, (b, n))
+    x1 = rng.uniform(0, 0.5, (b, n))
+    boxes = np.stack(
+        [y1, x1, y1 + rng.uniform(0.2, 0.5, (b, n)),
+         x1 + rng.uniform(0.2, 0.5, (b, n))], axis=2
+    ).astype(np.float32)
+    wy, wx = jax.vmap(
+        lambda bx: interp_weights(bx, fm.shape[1], fm.shape[2], crop_size)
+    )(jnp.asarray(boxes))
+    out_s = crop_size // 2 if pool else crop_size
+    g = jnp.asarray(
+        rng.randn(b, n, out_s, out_s, 8).astype(np.float32)
+    ).astype(dtype)
+
+    want, _, _ = _roi_align_bwd_xla(crop_size, pool, (fm, wy, wx), g)
+    got = _roi_align_bwd_pallas(
+        fm, wy, wx, g, crop_size, pool=pool, interpret=True
+    ).astype(fm.dtype)
+    assert got.shape == fm.shape
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-4 if dtype == jnp.float32 else 2e-2,
+        rtol=1e-3 if dtype == jnp.float32 else 2e-2,
+    )
+
+
+def test_pallas_bwd_no_pool():
+    check_pallas_bwd(pool=False)
+
+
+def test_pallas_bwd_with_pool():
+    # f32 halves tile_r to 4, so n=7 also exercises the multi-tile
+    # accumulation path (2 tiles) and the zero-padded tail ROI.
+    check_pallas_bwd(pool=True)
+
+
+def test_pallas_bwd_with_pool_bf16():
+    check_pallas_bwd(pool=True, dtype=jnp.bfloat16, seed=2)
+
+
+def test_pallas_bwd_batched_many_tiles():
+    check_pallas_bwd(pool=True, b=3, n=19, seed=1)
