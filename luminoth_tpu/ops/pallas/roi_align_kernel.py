@@ -41,7 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _roi_kernel(wy_ref, wx_ref, fmt_ref, out_ref, *, tile_r, s, pool):
+def _roi_kernel(wy_ref, wx_ref, fmt_ref, out_ref, *refs, tile_r, s, pool,
+                emit_mask=False):
+    mask_ref = refs[0] if emit_mask else None
     h = wy_ref.shape[-1]
     w = wx_ref.shape[-1]
     c = fmt_ref.shape[-1] // h
@@ -74,8 +76,15 @@ def _roi_kernel(wy_ref, wx_ref, fmt_ref, out_ref, *, tile_r, s, pool):
             wy, cols, preferred_element_type=jnp.float32
         ).reshape(s, s, c)  # (y, x, c) — already in output order
         if pool:
-            crop = crop.reshape(s // 2, 2, s // 2, 2, c)
-            crop = jnp.max(crop, axis=(1, 3))
+            win = crop.reshape(s // 2, 2, s // 2, 2, c)
+            win_max = jnp.max(win, axis=(1, 3), keepdims=True)
+            if emit_mask:
+                # Backward routing: 1 where the element is its 2x2
+                # window's max (ties keep every max, split in the VJP).
+                mask_ref[0, j] = (win == win_max).astype(
+                    jnp.uint8
+                ).reshape(s, s, c)
+            crop = win_max.reshape(s // 2, s // 2, c)
         out_ref[0, j] = crop.astype(out_ref.dtype)
 
 
@@ -239,6 +248,125 @@ def _roi_align_bwd_pallas(feature_map, wy, wx, g, crop_size, tile_r=8,
     return d_fmt.reshape(b, w, h, c).transpose(0, 2, 1, 3)
 
 
+def _roi_bwd_mask_kernel(wy_ref, wx_ref, g_ref, mask_ref, dout_ref, *,
+                         tile_r, s):
+    """Mask-routed backward: no crop recompute, no feature-map input.
+
+    The forward stored a uint8 is-window-max mask per pre-pool element;
+    routing the pooled cotangent through it replaces the stage-1+stage-2
+    recompute matmuls (and one corner turn per ROI) with a few VPU ops.
+    """
+    h = wy_ref.shape[-1]
+    w = wx_ref.shape[-1]
+    c = dout_ref.shape[-1] // h
+    i = pl.program_id(1)
+
+    wx_all = wx_ref[0].reshape(tile_r * s, w)  # f32
+
+    d_cols_rows = []
+    for j in range(tile_r):
+        m = mask_ref[0, j].astype(jnp.float32).reshape(
+            s // 2, 2, s // 2, 2, c
+        )
+        ties = jnp.sum(m, axis=(1, 3), keepdims=True)
+        g_win = g_ref[0, j].astype(jnp.float32).reshape(
+            s // 2, 1, s // 2, 1, c
+        )
+        g_crop = (m / ties * g_win).reshape(s, s * c)
+        wy = wy_ref[0, j]  # (S_y, H) f32
+        d_cols = jnp.dot(
+            wy.T, g_crop, preferred_element_type=jnp.float32
+        )
+        d_cols_rows.append(
+            d_cols.reshape(h, s, c).transpose(1, 0, 2).reshape(s, h * c)
+        )
+    d_cols_all = jnp.concatenate(d_cols_rows, axis=0)
+    d_fmt = jnp.dot(
+        wx_all.T, d_cols_all, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == 0)
+    def _init():
+        dout_ref[...] = jnp.zeros(dout_ref.shape, dout_ref.dtype)
+
+    dout_ref[...] += d_fmt[None]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("crop_size", "tile_r", "h", "w", "interpret"),
+)
+def _roi_align_bwd_pallas_masked(wy, wx, g, mask, crop_size, h, w,
+                                 tile_r=8, interpret=False,
+                                 f32_fm=False):
+    """d_feature_map from the stored routing mask. Returns f32 (B,H,W,C)."""
+    b = wy.shape[0]
+    r = wy.shape[1]
+    s = crop_size
+    c = g.shape[-1]
+
+    if f32_fm:
+        tile_r = max(2, tile_r // 2)
+
+    num_tiles = -(-r // tile_r)
+    pad = num_tiles * tile_r - r
+    if pad:
+        wy = jnp.pad(wy, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad)) + ((0, 0),) * (g.ndim - 2))
+        # Padded mask rows must be non-zero so ties never divides by 0.
+        mask = jnp.pad(
+            mask, ((0, 0), (0, pad)) + ((0, 0),) * (mask.ndim - 2),
+            constant_values=1,
+        )
+
+    wy = wy.astype(jnp.float32)
+    wx = wx.astype(jnp.float32)
+    out_s = s // 2
+
+    d_fmt = pl.pallas_call(
+        partial(_roi_bwd_mask_kernel, tile_r=tile_r, s=s),
+        grid=(b, num_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_r, s, h), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_r, s, w), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_r, out_s, out_s, c),
+                lambda bi, i: (bi, i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_r, s, s, c), lambda bi, i: (bi, i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, w, h * c), lambda bi, i: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, w, h * c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r * s * (h + s) * w * c,
+            bytes_accessed=(
+                b * (h * w * c * 4 + r * s * s * c
+                     + r * out_s * out_s * c * 4)
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wy, wx, g, mask)
+    return d_fmt.reshape(b, w, h, c).transpose(0, 2, 1, 3)
+
+
 def _roi_align_bwd(crop_size, pool, interpret, residuals, g):
     feature_map, wy, wx = residuals
     from luminoth_tpu.ops.dispatch import on_tpu as _on_tpu
@@ -335,10 +463,12 @@ roi_align_pallas.defvjp(_roi_align_fwd, _roi_align_bwd)
 
 
 @partial(
-    jax.jit, static_argnames=("crop_size", "tile_r", "pool", "interpret")
+    jax.jit,
+    static_argnames=("crop_size", "tile_r", "pool", "interpret",
+                     "emit_mask"),
 )
 def _roi_align_impl(feature_map, wy, wx, crop_size, tile_r=8, pool=True,
-                    interpret=False):
+                    interpret=False, emit_mask=False):
     """Fused crop(+pool) over precomputed interpolation matrices.
 
     Batched natively: the grid is (batch, roi_tiles) — no vmap needed (and
@@ -387,8 +517,27 @@ def _roi_align_impl(feature_map, wy, wx, crop_size, tile_r=8, pool=True,
     wy = wy.astype(dtype)
     wx = wx.astype(dtype)
 
+    emit_mask = emit_mask and pool
+    out_specs = pl.BlockSpec(
+        (1, tile_r, out_s, out_s, c),
+        lambda bi, i: (bi, i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct(
+        (b, num_tiles * tile_r, out_s, out_s, c), dtype
+    )
+    if emit_mask:
+        out_specs = [out_specs, pl.BlockSpec(
+            (1, tile_r, s, s, c), lambda bi, i: (bi, i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )]
+        out_shape = [out_shape, jax.ShapeDtypeStruct(
+            (b, num_tiles * tile_r, s, s, c), jnp.uint8
+        )]
+
     out = pl.pallas_call(
-        partial(_roi_kernel, tile_r=tile_r, s=s, pool=pool),
+        partial(_roi_kernel, tile_r=tile_r, s=s, pool=pool,
+                emit_mask=emit_mask),
         grid=(b, num_tiles),
         in_specs=[
             pl.BlockSpec(
@@ -404,14 +553,8 @@ def _roi_align_impl(feature_map, wy, wx, crop_size, tile_r=8, pool=True,
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tile_r, out_s, out_s, c),
-            lambda bi, i: (bi, i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (b, num_tiles * tile_r, out_s, out_s, c), dtype
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -419,10 +562,18 @@ def _roi_align_impl(feature_map, wy, wx, crop_size, tile_r=8, pool=True,
             flops=2 * b * r * s * (h + s) * w * c,
             bytes_accessed=(
                 b * (h * w * c * 2 + r * out_s * out_s * c * 2)
+                + (b * r * s * s * c if emit_mask else 0)
             ),
             transcendentals=0,
         ),
         interpret=interpret,
     )(wy, wx, fmt2d)
+    if emit_mask:
+        out, mask = out
+        out = out[:, :r]
+        mask = mask[:, :r]
+        if unbatched:
+            return out[0], mask[0]
+        return out, mask
     out = out[:, :r]
     return out[0] if unbatched else out
