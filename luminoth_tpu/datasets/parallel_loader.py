@@ -38,13 +38,25 @@ import logging
 import multiprocessing as mp
 import os
 import queue as queue_mod
+import time
+import traceback
 from multiprocessing import shared_memory
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
 
+# Worker→parent control sentinels. Clean completion and failure are
+# DISTINCT (a crashed worker must not read as "epoch finished" — that
+# would silently drop 1/N of the data), and both carry the worker id so
+# the parent can tell a reported worker from one that died hard
+# (SIGKILL/OOM) without managing to send anything.
 _DONE = "__done__"
+_ERROR = "__error__"
+
+
+class WorkerError(RuntimeError):
+    """A loader worker process failed; carries the child's traceback."""
 
 
 def _epoch_file_shard(files, num_workers, worker_id, epoch, seed, shuffle):
@@ -177,11 +189,12 @@ def _worker_main(worker_id, num_workers, config_plain, dataset_kwargs,
                         break
                     except queue_mod.Full:
                         continue
-        result_q.put(_DONE)
-    except Exception:  # surface the traceback in the parent's log
+        result_q.put({_DONE: worker_id})
+    except Exception:  # ship the traceback to the parent, which re-raises
         logger.exception("loader worker %d died", worker_id)
         try:
-            result_q.put(_DONE)
+            result_q.put({_ERROR: traceback.format_exc(),
+                          "worker": worker_id})
         except Exception:
             pass
     finally:
@@ -237,12 +250,47 @@ class MultiprocessLoader:
                 p.start()
                 procs.append(p)
 
-            done = 0
-            while done < self._num_workers:
-                meta = result_q.get()
-                if meta == _DONE:
-                    done += 1
+            reported = set()  # worker ids that sent _DONE or _ERROR
+            first_seen_dead = {}  # wid → when we first saw it dead
+
+            def _check_liveness(grace_s):
+                # A hard-killed worker (OOM killer, SIGKILL) never sends
+                # anything — without this the parent would block forever
+                # on an empty queue, or silently finish an epoch missing
+                # 1/N of the data. The grace period absorbs the race
+                # where a worker died right after queueing its sentinel
+                # but the feeder pipe hasn't surfaced it to us yet.
+                now = time.monotonic()
+                for wid, p in enumerate(procs):
+                    if p.is_alive() or wid in reported:
+                        first_seen_dead.pop(wid, None)
+                        continue
+                    t0 = first_seen_dead.setdefault(wid, now)
+                    if now - t0 > grace_s:
+                        raise WorkerError(
+                            f"loader worker {wid} exited without "
+                            "reporting (killed? OOM?); batch stream is "
+                            "incomplete"
+                        )
+
+            while len(reported) < self._num_workers:
+                try:
+                    meta = result_q.get(timeout=5.0)
+                except queue_mod.Empty:
+                    _check_liveness(grace_s=8.0)
                     continue
+                # Queue busy: still bound how long a silently-dead
+                # worker can go unnoticed behind live producers.
+                _check_liveness(grace_s=30.0)
+                if isinstance(meta, dict) and _DONE in meta:
+                    reported.add(meta[_DONE])
+                    continue
+                if isinstance(meta, dict) and _ERROR in meta:
+                    reported.add(meta["worker"])
+                    raise WorkerError(
+                        f"loader worker {meta['worker']} failed:\n"
+                        f"{meta[_ERROR]}"
+                    )
                 shm = slabs[meta["slab"]]
                 view = np.ndarray(
                     meta["shape"], dtype=np.dtype(meta["dtype"]),

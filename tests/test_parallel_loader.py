@@ -143,3 +143,56 @@ class TestMultiprocessLoader:
                                     pad_final_batch=True)
         seen = collect(ds)
         assert set(seen) == {f"img{i:03d}.png" for i in range(8)}
+
+    def test_worker_exception_reraised_in_parent(self, tmp_path):
+        # A crashed worker must surface as WorkerError in the consumer,
+        # not masquerade as clean end-of-epoch (which would silently
+        # train on a partial dataset). Per-record decode failures are
+        # skipped by design, so crash at the file level: delete the
+        # record files after the first batch — the next epoch's open
+        # raises inside the worker.
+        import os
+
+        from luminoth_tpu.datasets.parallel_loader import WorkerError
+
+        data_dir = write_records(tmp_path, n=40, shards=2)
+        cfg = loader_config(data_dir, procs=2)
+        cfg.train.num_epochs = 5
+
+        with pytest.raises(WorkerError) as exc_info:
+            ds = ObjectDetectionDataset(cfg, augment=False)
+            it = iter(ds)
+            next(it)
+            for f in os.listdir(data_dir):
+                if f.endswith(".tfrecords"):
+                    os.unlink(os.path.join(data_dir, f))
+            for _ in range(10_000):
+                next(it)
+        # the child's traceback rides along for diagnosis
+        assert "Traceback" in str(exc_info.value)
+
+    def test_hard_killed_worker_detected(self, tmp_path):
+        # SIGKILL (the OOM killer's signal) leaves no sentinel at all;
+        # the parent's liveness check must raise instead of blocking
+        # forever on result_q.get().
+        import multiprocessing
+
+        from luminoth_tpu.datasets.parallel_loader import WorkerError
+
+        data_dir = write_records(tmp_path, n=40, shards=4)
+        cfg = loader_config(data_dir, procs=2)
+        cfg.train.num_epochs = 100  # keep workers busy while we aim
+
+        def consume_until_error():
+            ds = ObjectDetectionDataset(cfg, augment=False)
+            it = iter(ds)
+            next(it)  # workers are up and producing
+            victims = [p for p in multiprocessing.active_children()
+                       if "Process" in p.name]
+            assert victims, "no loader worker children visible"
+            victims[0].kill()  # direct handle, never pattern-kill
+            for _ in range(10_000):
+                next(it)
+
+        with pytest.raises(WorkerError, match="without reporting"):
+            consume_until_error()
