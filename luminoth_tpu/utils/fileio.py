@@ -60,12 +60,23 @@ def isdir(path):
 
 
 def listdir(path):
-    """Base names of the entries under a directory."""
+    """Base names of the entries under a directory.
+
+    A missing REMOTE directory lists as empty instead of raising: on
+    object stores ``makedirs`` is a no-op (directories are prefixes
+    that only exist once an object is written under them), so a fresh
+    ``gs://.../run_dir`` would otherwise crash checkpoint discovery at
+    train start rather than starting fresh. Local misses still raise —
+    a missing local directory is a real error the caller should see.
+    """
     if is_remote(path):
-        return [
-            posixpath.basename(p.rstrip("/"))
-            for p in _fs(path).ls(str(path), detail=False)
-        ]
+        try:
+            return [
+                posixpath.basename(p.rstrip("/"))
+                for p in _fs(path).ls(str(path), detail=False)
+            ]
+        except FileNotFoundError:
+            return []
     return os.listdir(path)
 
 

@@ -164,18 +164,63 @@ def _mask_to_labels(mask, params):
     )
 
 
+# Depth order of backbone stage scopes, for ordering leaves the way TF
+# creation order did in the reference. Only relative order within one
+# family matters (a params tree holds either resnet block scopes or vgg
+# conv/fc scopes, never both); SSD's extras conv6..conv11 are created
+# after the vgg trunk (feature_extractor.py), mirroring the reference.
+_FINETUNE_STAGE_ORDER = [
+    "conv1", "conv2", "conv3", "conv4", "conv5",
+    "fc6", "conv6", "fc7", "conv7", "fc8",
+    "conv8", "conv9", "conv10", "conv11",
+    "block1", "block2", "block3", "block4",
+]
+
+def _finetune_natural(s):
+    """Natural-sort tuple: digit runs compare numerically (unit_10 after
+    unit_9), with a type tag so ints and strs never compare directly."""
+    import re
+
+    return tuple(
+        ("d", int(t)) if t.isdigit() else ("s", t)
+        for t in re.split(r"(\d+)", s)
+        if t
+    )
+
+
+def _finetune_depth_key(path_str):
+    """Depth key of a backbone leaf path, or None if it holds no stage
+    scope (e.g. resnet postnorm): (stage index, natural order of the
+    path from the stage scope onward) — sub-stage precision, so
+    'conv4/conv4_2' or 'block4/unit_2' boundaries land mid-stage exactly
+    as the reference's variable-order substring match does."""
+    segments = path_str.split("/")
+    for i, seg in enumerate(segments):
+        stage = seg if seg in _FINETUNE_STAGE_ORDER else seg.split("_")[0]
+        if stage in _FINETUNE_STAGE_ORDER:
+            return (
+                _FINETUNE_STAGE_ORDER.index(stage),
+                _finetune_natural("/".join(segments[i:])),
+            )
+    return None
+
+
 def build_trainable_mask(params, model_config):
     """Pytree mask of trainable params from the reference's flags.
 
     reference semantics (base_network.py:211-241,
     truncated_base_network.py:97-144):
     * ``base_network.trainable: False`` freezes the whole backbone;
-    * ``fine_tune_from: <scope>`` trains the variables STARTING FROM the
-      first one whose name contains the string — the named scope itself
-      is trainable, everything before it is frozen (reference
-      base_network.py:212-219: ``all_variables[index:]``);
+    * ``fine_tune_from: <scope>`` orders the backbone variables by depth
+      (the reference's creation order) and trains STARTING FROM the
+      first whose name contains the string — the named scope itself is
+      trainable, everything before it is frozen (reference
+      base_network.py:232-241: ``all_variables[index:]``); a string
+      matching nothing raises ValueError, as the reference does;
     * ``freeze_tail: True`` freezes the block4 tail.
     """
+    import re
+
     import jax
 
     cfg = model_config.get("base_network", {})
@@ -183,44 +228,71 @@ def build_trainable_mask(params, model_config):
     fine_tune_from = cfg.get("fine_tune_from")
     freeze_tail = cfg.get("freeze_tail", False)
 
-    # Depth order of backbone sub-scopes for the fine_tune_from boundary.
-    # Only relative order within one family matters (a params tree holds
-    # either resnet block scopes or vgg conv/fc scopes, never both);
-    # "conv1" is shared and sits before every later stage in both.
-    order = ["conv1", "conv2", "conv3", "conv4", "conv5",
-             "fc6", "fc7", "fc8",
-             "block1", "block2", "block3", "block4"]
+    def names_of(path):
+        return [getattr(p, "key", str(p)) for p in path]
 
-    def scope_index(name):
-        """Depth index of the first order-scope appearing in ``name``."""
-        for part in name.split("/"):
-            if part in order:
-                return order.index(part)
-            stem = part.split("_")[0]  # conv4_3 -> conv4
-            if stem in order:
-                return order.index(stem)
-        return None
-
-    boundary = scope_index(fine_tune_from) if fine_tune_from else None
-
-    def path_trainable(path):
-        names = [getattr(p, "key", str(p)) for p in path]
-        # Backbone scopes: FRCNN's "base_network", SSD's "feature_extractor".
-        in_backbone = (
+    def is_backbone(names):
+        # Backbone scopes: FRCNN's "base_network", SSD's
+        # "feature_extractor"; the block4 tail is handled separately.
+        return (
             "base_network" in names[0] or "feature_extractor" in names[0]
         ) and "tail" not in names[0]
-        in_tail = "tail" in names[0]
-        if in_tail:
+
+    trainable_leaves = None
+    if fine_tune_from:
+        # Reference variable names carry module/arch prefixes our param
+        # paths don't ("vgg_16/fc6" → "fc6"); strip them from the query.
+        arch_re = re.compile(
+            r"vgg_16|truncated_vgg_16|resnet_v[12]_\d+"
+            r"|truncated_base_network|fasterrcnn|ssd"
+        )
+        stripped = "/".join(
+            c for c in str(fine_tune_from).split("/")
+            if c and not arch_re.fullmatch(c)
+        )
+        queries = [q for q in {str(fine_tune_from), stripped} if q]
+
+        flat, _ = jax.tree_util.tree_flatten_with_path(params)
+        staged = []
+        for path, _leaf in flat:
+            names = names_of(path)
+            if not is_backbone(names):
+                continue
+            joined = "/".join(names)
+            key = _finetune_depth_key(joined)
+            if key is not None:
+                staged.append((key, joined))
+        staged.sort()
+        ordered = [joined for _, joined in staged]
+        boundary = next(
+            (i for i, joined in enumerate(ordered)
+             if any(q in joined for q in queries)),
+            None,
+        )
+        if boundary is None:
+            raise ValueError(
+                '"{}" is an invalid value of fine_tune_from for this '
+                "architecture.".format(fine_tune_from)
+            )
+        trainable_leaves = set(ordered[boundary:])
+
+    def path_trainable(path):
+        names = names_of(path)
+        if "tail" in names[0]:
             return not freeze_tail
-        if not in_backbone:
+        if not is_backbone(names):
             return True
         if not trainable:
             return False
-        if boundary is not None:
-            for name in names:
-                idx = scope_index(name)
-                if idx is not None:
-                    return idx >= boundary
+        if trainable_leaves is not None:
+            joined = "/".join(names)
+            if _finetune_depth_key(joined) is None:
+                # Scopes outside the ordered trunk (postnorm, logits)
+                # have no reference boundary position; keep them
+                # trainable, as the pre-boundary freeze targets the
+                # early trunk.
+                return True
+            return joined in trainable_leaves
         return True
 
     return jax.tree_util.tree_map_with_path(

@@ -74,6 +74,17 @@ class TestFileIOUnit:
             "train-00000.tfrecords", "train-00001.tfrecords",
         ]
 
+    def test_listdir_missing_remote_dir_is_empty(self):
+        # Object-store makedirs is a no-op (prefixes only exist once an
+        # object is written), so a fresh remote run_dir must list as
+        # empty at train start rather than crash checkpoint discovery.
+        assert fileio.listdir("memory://never-written-prefix/run0") == []
+        # Local misses still raise — that's a real error.
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            fileio.listdir("/nonexistent-local-dir-xyz")
+
     def test_replace_moves_remote(self):
         src = "memory://bucket/a.tmp"
         dst = "memory://bucket/a"

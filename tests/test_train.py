@@ -574,6 +574,72 @@ class TestBuildTrainableMask:
         assert m["feature_extractor"]["conv6"]["kernel"] is True
         assert m["multibox"]["cls_0"]["kernel"] is True
 
+    def test_sub_stage_boundary_resnet_unit(self):
+        """Reference configs use sub-stage scopes like 'block4/unit_2'
+        (variable-order substring match, base_network.py:232-235): the
+        earlier units of the SAME stage must stay frozen."""
+        leaf = np.zeros((1,))
+        params = {
+            "base_network": {
+                "block3": {
+                    "unit_1": {"conv1": {"kernel": leaf}},
+                    "unit_2": {"conv1": {"kernel": leaf}},
+                    "unit_10": {"conv1": {"kernel": leaf}},
+                    "unit_11": {"conv1": {"kernel": leaf}},
+                },
+            },
+        }
+        m = self._mask(params, fine_tune_from="block3/unit_10")
+        b3 = m["base_network"]["block3"]
+        assert b3["unit_1"]["conv1"]["kernel"] is False
+        assert b3["unit_2"]["conv1"]["kernel"] is False
+        # natural order: unit_10 after unit_2, not between unit_1/unit_2
+        assert b3["unit_10"]["conv1"]["kernel"] is True
+        assert b3["unit_11"]["conv1"]["kernel"] is True
+
+    def test_sub_stage_boundary_vgg_conv(self):
+        leaf = np.zeros((1,))
+        params = {
+            "feature_extractor": {
+                "vgg": {
+                    "conv4/conv4_1": {"kernel": leaf},
+                    "conv4/conv4_2": {"kernel": leaf},
+                    "conv4/conv4_3": {"kernel": leaf},
+                },
+            },
+        }
+        m = self._mask(params, fine_tune_from="conv4/conv4_2")
+        fe = m["feature_extractor"]["vgg"]
+        assert fe["conv4/conv4_1"]["kernel"] is False
+        assert fe["conv4/conv4_2"]["kernel"] is True
+        assert fe["conv4/conv4_3"]["kernel"] is True
+
+    def test_arch_prefixes_stripped_from_query(self):
+        """Reference-style values carry the slim arch scope
+        ('vgg_16/fc6', docstring at base_network.py:216-218); our param
+        paths don't — the prefix is stripped rather than failing."""
+        leaf = np.zeros((1,))
+        params = {
+            "base_network": {
+                "conv5/conv5_3": {"kernel": leaf},
+                "fc6": {"kernel": leaf},
+                "fc7": {"kernel": leaf},
+            },
+        }
+        m = self._mask(params, fine_tune_from="vgg_16/fc6")
+        assert m["base_network"]["conv5/conv5_3"]["kernel"] is False
+        assert m["base_network"]["fc6"]["kernel"] is True
+        assert m["base_network"]["fc7"]["kernel"] is True
+
+    def test_unmatched_scope_raises(self):
+        """The reference raises ValueError on a fine_tune_from that
+        matches nothing (base_network.py:236-240) — silently training
+        everything would hide a config typo."""
+        leaf = np.zeros((1,))
+        params = {"base_network": {"conv1": {"kernel": leaf}}}
+        with pytest.raises(ValueError, match="fine_tune_from"):
+            self._mask(params, fine_tune_from="blockX/not_a_scope")
+
 
 def test_trainable_mask_composes_with_remat():
     import jax
