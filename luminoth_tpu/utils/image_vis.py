@@ -141,8 +141,10 @@ def draw_ssd_anchor_matches(image, prediction_dict=None, anchors=None,
     return np.asarray(pil)
 
 
-def draw_top_proposals(image, prediction_dict=None, min_score=0.8, **kwargs):
-    """RPN proposals above a score threshold (reference draw_top_proposals)."""
+def draw_top_proposals(image, prediction_dict=None, min_score=0.8,
+                       max_display=None, **kwargs):
+    """RPN proposals above a score threshold (reference draw_top_proposals;
+    its ``max_display`` variant caps how many survivors render)."""
     pil = _to_pil(image)
     rpn = (prediction_dict or {}).get("rpn_prediction", {})
     proposals = rpn.get("proposals")
@@ -152,10 +154,14 @@ def draw_top_proposals(image, prediction_dict=None, min_score=0.8, **kwargs):
             rpn.get("proposals_valid", np.ones_like(scores))
         ).astype(bool)
         keep = valid & (scores >= min_score)
+        boxes, texts = np.asarray(proposals)[keep], scores[keep]
+        if max_display is not None and len(boxes) > max_display:
+            order = np.argsort(-texts)[:max_display]
+            boxes, texts = boxes[order], texts[order]
         draw = ImageDraw.Draw(pil)
         _draw_boxes(
-            draw, np.asarray(proposals)[keep], PROPOSAL_COLOR,
-            texts=[f"{s:.2f}" for s in scores[keep]],
+            draw, boxes, PROPOSAL_COLOR,
+            texts=[f"{s:.2f}" for s in texts],
         )
     return np.asarray(pil)
 
@@ -888,25 +894,58 @@ summaries_fn = {
             draw_anchor_batch,
             draw_positive_anchors,
             draw_rpn_proposals,
+            # Parameter-variant sets mirror the reference's debug
+            # registry (image_vis.py:43-88) entry for entry.
             draw_top_proposals,
             _with_kwargs(draw_top_proposals, min_score=0.0),
+            _with_kwargs(draw_top_proposals, max_display=50),
             draw_top_nms_proposals,
+            _with_kwargs(draw_top_nms_proposals, min_score=0.9),
+            _with_kwargs(draw_top_nms_proposals, min_score=0.75),
             _with_kwargs(draw_top_nms_proposals, min_score=0.05),
             _with_kwargs(draw_batch_proposals, display="anchor"),
             _with_kwargs(draw_batch_proposals, display="proposal"),
             _with_kwargs(draw_batch_proposals, display="proposal",
+                         draw_all=False),
+            _with_kwargs(draw_batch_proposals, display="proposal",
+                         top_k=10, draw_all=False),
+            _with_kwargs(draw_batch_proposals, display="proposal",
                          top_k=20, draw_all=False),
-            _with_kwargs(draw_rpn_cls_loss, foreground=True, worst=True),
-            _with_kwargs(draw_rpn_cls_loss, foreground=True, worst=False),
-            _with_kwargs(draw_rpn_cls_loss, foreground=False, worst=True),
-            _with_kwargs(draw_rpn_cls_loss, foreground=False, worst=False),
+            _with_kwargs(draw_batch_proposals, display="anchor",
+                         top_k=10, draw_all=False),
+            _with_kwargs(draw_batch_proposals, display="anchor",
+                         top_k=20, draw_all=False),
+            _with_kwargs(draw_rpn_cls_loss, foreground=True, topn=10,
+                         worst=True),
+            _with_kwargs(draw_rpn_cls_loss, foreground=True, topn=10,
+                         worst=False),
+            _with_kwargs(draw_rpn_cls_loss, foreground=False, topn=10,
+                         worst=True),
+            _with_kwargs(draw_rpn_cls_loss, foreground=False, topn=10,
+                         worst=False),
+            _with_kwargs(draw_rpn_cls_loss, foreground=True, topn=20,
+                         worst=True),
+            _with_kwargs(draw_rpn_cls_loss, foreground=True, topn=20,
+                         worst=False),
+            _with_kwargs(draw_rpn_cls_loss, foreground=False, topn=20,
+                         worst=True),
+            _with_kwargs(draw_rpn_cls_loss, foreground=False, topn=20,
+                         worst=False),
             draw_rpn_targets,
             draw_rpn_bbox_targets,
+            _with_kwargs(draw_rpn_bbox_pred, top_k=1),
             _with_kwargs(draw_rpn_bbox_pred, top_k=5),
+            _with_kwargs(draw_rpn_bbox_pred, top_k=10),
             _with_kwargs(draw_rpn_bbox_pred, top_k=20),
+            _with_kwargs(draw_rpn_bbox_pred, top_k=40),
+            _with_kwargs(draw_rpn_bbox_pred, top_k=80),
             _with_kwargs(draw_rpn_bbox_pred_with_target, worst=True),
             _with_kwargs(draw_rpn_bbox_pred_with_target, worst=False),
+            _with_kwargs(draw_rpn_pred_combined_loss, top_k=1),
+            _with_kwargs(draw_rpn_pred_combined_loss, top_k=5),
             _with_kwargs(draw_rpn_pred_combined_loss, top_k=10),
+            _with_kwargs(draw_rpn_pred_combined_loss, top_k=20),
+            _with_kwargs(draw_rpn_pred_combined_loss, top_k=50),
             draw_correct_rpn_proposals_anchors,
             draw_rpn_correct_proposals,
             draw_rcnn_cls_batch,
@@ -930,6 +969,7 @@ summaries_fn = {
             _with_kwargs(draw_ssd_cls_loss, foreground=False, worst=False),
             _with_kwargs(draw_ssd_bbox_pred, top_k=1),
             _with_kwargs(draw_ssd_bbox_pred, top_k=5),
+            _with_kwargs(draw_ssd_bbox_pred, top_k=10),
             draw_ssd_final_pred_anchors,
             draw_ssd_top_k_anchors_per_gt,
             draw_object_predictions,

@@ -195,6 +195,96 @@ def test_dispatcher_runs_debug_mode(image, frcnn_pred, gt_boxes, all_anchors):
         assert img.dtype == np.uint8
 
 
+class TestPixelAssertions:
+    """Load-bearing draws verified at the PIXEL level (VERDICT r3 #8):
+    a silently-blank rendering must fail, not just return an array of
+    the right shape. Black input + boxes at known coordinates → exact
+    colors on perimeters, tints in fills, untouched pixels elsewhere."""
+
+    BLACK = np.zeros((H, W, 3), np.float32)
+
+    def test_draw_gt_boxes_paints_perimeter(self):
+        gt = np.array([[20, 10, 50, 30, 1]], np.float32)
+        out = image_vis.draw_gt_boxes(self.BLACK, gt_boxes=gt)
+        # bottom edge (away from the label text at the top-left corner)
+        assert tuple(out[30, 35]) == image_vis.GT_COLOR
+        # width=2: the second rectangle sits one pixel outward
+        assert tuple(out[31, 35]) == image_vis.GT_COLOR
+        # deep interior + far corner untouched
+        assert tuple(out[20, 35]) == (0, 0, 0)
+        assert tuple(out[H - 1, W - 1]) == (0, 0, 0)
+
+    def test_draw_object_predictions_uses_class_colors(self):
+        from luminoth_tpu.vis import build_colormap
+
+        pred = {
+            "classification_prediction": {
+                "objects": np.array([[30, 40, 70, 60]], np.float32),
+                "labels": np.array([2]),
+                "probs": np.array([0.9], np.float32),
+                "valid": np.array([True]),
+            }
+        }
+        out = image_vis.draw_object_predictions(
+            self.BLACK, prediction_dict=pred
+        )
+        assert tuple(out[60, 50]) == tuple(build_colormap()(2))
+        assert tuple(out[50, 50]) == (0, 0, 0)
+
+    def test_draw_top_nms_proposals_fills_box(self):
+        pred = {
+            "rpn_prediction": {
+                "proposals": np.array([[20, 20, 60, 50]], np.float32),
+                "scores": np.array([0.95], np.float32),
+                "proposals_valid": np.array([True]),
+            }
+        }
+        out = image_vis.draw_top_nms_proposals(
+            self.BLACK, prediction_dict=pred
+        )
+        # translucent green fill: G clearly lit, R/B untouched
+        inside = out[35, 40]
+        assert inside[1] > 30 and inside[0] == 0 and inside[2] == 0
+        assert tuple(out[10, 40]) == (0, 0, 0)  # outside untouched
+        # below threshold → nothing drawn at all
+        pred["rpn_prediction"]["scores"] = np.array([0.1], np.float32)
+        blank = image_vis.draw_top_nms_proposals(
+            self.BLACK, prediction_dict=pred
+        )
+        assert (blank == 0).all()
+
+    def test_draw_anchor_batch_tints_fg_green_bg_magenta(self):
+        anchors = np.array(
+            [[10, 10, 40, 40], [60, 50, 90, 80]], np.float32
+        )
+        pred = {
+            "rpn_prediction": {
+                "rpn_cls_target": np.array([1.0, 0.0], np.float32),
+            }
+        }
+        out = image_vis.draw_anchor_batch(
+            self.BLACK, prediction_dict=pred, all_anchors=anchors
+        )
+        fg = out[25, 25].astype(int)   # green tint: G dominates
+        bg = out[65, 75].astype(int)   # magenta tint: R+B dominate
+        assert fg[1] > fg[0] and fg[1] > fg[2] and fg[1] > 0
+        assert bg[0] > bg[1] and bg[2] > bg[1] and bg[0] > 0
+
+    def test_draw_rpn_proposals_paints_proposal_color(self):
+        pred = {
+            "rpn_prediction": {
+                "proposals": np.array([[16, 24, 72, 64]], np.float32),
+                "scores": np.array([0.7], np.float32),
+                "proposals_valid": np.array([True]),
+            }
+        }
+        out = image_vis.draw_rpn_proposals(
+            self.BLACK, prediction_dict=pred
+        )
+        assert tuple(out[64, 44]) == image_vis.PROPOSAL_COLOR
+        assert tuple(out[44, 44]) == (0, 0, 0)
+
+
 def test_ssd_anchor_matches_reads_anchors_from_pred(image, ssd_pred):
     # The dispatcher never passes anchors=; the function must find the
     # SSD anchors in the prediction dict and actually draw.
