@@ -91,24 +91,60 @@ def _head_vals(rng, shapes, flax_prefix, ref_prefix):
     return vals
 
 
+def build_frcnn_ref_values(cfg, image_hw=(64, 64), seed=7):
+    """Deterministic reference-layout FRCNN checkpoint values."""
+    shapes = _our_param_shapes(cfg, image_hw)
+    _, backbone_vals = make_slim_resnet_values(50)
+    prefix = "fasterrcnn/truncated_base_network"
+    vals = {
+        f"{prefix}/{name}": value
+        for name, value in backbone_vals.items()
+        if "logits" not in name and name != "global_step"
+    }
+    rng = np.random.RandomState(seed)
+    for head in ("rpn/conv", "rpn/cls_conv", "rpn/bbox_conv",
+                 "rcnn/fc_classifier", "rcnn/fc_bbox"):
+        vals.update(_head_vals(rng, shapes, head, f"fasterrcnn/{head}"))
+    return vals
+
+
+def build_ssd_ref_values(cfg, seed=8):
+    """Deterministic reference-layout SSD checkpoint values."""
+    shapes = _our_param_shapes(cfg, (300, 300))
+    vgg_vals = make_slim_vgg_values()
+    prefix = "ssd/ssd_feature_extractor"
+    vals = {f"{prefix}/{name}": value for name, value in vgg_vals.items()}
+    rng = np.random.RandomState(seed)
+    extras = ("conv6", "conv7", "conv8_1", "conv8_2", "conv9_1",
+              "conv9_2", "conv10_1", "conv10_2", "conv11_1", "conv11_2")
+    for name in extras:
+        vals.update(
+            _head_vals(
+                rng, shapes, f"feature_extractor/{name}",
+                f"{prefix}/{name}",
+            )
+        )
+    vals[f"{prefix}/conv_4_3_norm/scale"] = np.full(
+        shapes["feature_extractor/conv4_3_norm/gamma"], 20.0, np.float32
+    )
+    i = 0
+    while f"MultiBox_{i}_offsets_conv/kernel" in shapes:
+        for kind in ("offsets", "classes"):
+            vals.update(
+                _head_vals(
+                    rng, shapes, f"MultiBox_{i}_{kind}_conv",
+                    f"ssd/MultiBox_{i}_{kind}_conv",
+                )
+            )
+        i += 1
+    assert i == 6
+    return vals
+
+
 class TestFasterRCNNZooConversion:
     def test_convert_and_predict(self, tmp_path):
         cfg = _frcnn_config(tmp_path)
-        shapes = _our_param_shapes(cfg, (64, 64))
-
-        _, backbone_vals = make_slim_resnet_values(50)
-        prefix = "fasterrcnn/truncated_base_network"
-        vals = {
-            f"{prefix}/{name}": value
-            for name, value in backbone_vals.items()
-            if "logits" not in name and name != "global_step"
-        }
-        rng = np.random.RandomState(7)
-        for head in ("rpn/conv", "rpn/cls_conv", "rpn/bbox_conv",
-                     "rcnn/fc_classifier", "rcnn/fc_bbox"):
-            vals.update(
-                _head_vals(rng, shapes, head, f"fasterrcnn/{head}")
-            )
+        vals = build_frcnn_ref_values(cfg)
         ckpt = save_slim_checkpoint(vals, str(tmp_path / "ref.ckpt"))
 
         n_loaded, n_total = convert_zoo_checkpoint(
@@ -136,37 +172,7 @@ class TestFasterRCNNZooConversion:
 class TestSSDZooConversion:
     def test_convert_and_predict(self, tmp_path):
         cfg = _ssd_config(tmp_path)
-        shapes = _our_param_shapes(cfg, (300, 300))
-
-        vgg_vals = make_slim_vgg_values()
-        prefix = "ssd/ssd_feature_extractor"
-        vals = {
-            f"{prefix}/{name}": value for name, value in vgg_vals.items()
-        }
-        rng = np.random.RandomState(8)
-        extras = ("conv6", "conv7", "conv8_1", "conv8_2", "conv9_1",
-                  "conv9_2", "conv10_1", "conv10_2", "conv11_1", "conv11_2")
-        for name in extras:
-            vals.update(
-                _head_vals(
-                    rng, shapes, f"feature_extractor/{name}",
-                    f"{prefix}/{name}",
-                )
-            )
-        vals[f"{prefix}/conv_4_3_norm/scale"] = np.full(
-            shapes["feature_extractor/conv4_3_norm/gamma"], 20.0, np.float32
-        )
-        i = 0
-        while f"MultiBox_{i}_offsets_conv/kernel" in shapes:
-            for kind in ("offsets", "classes"):
-                vals.update(
-                    _head_vals(
-                        rng, shapes, f"MultiBox_{i}_{kind}_conv",
-                        f"ssd/MultiBox_{i}_{kind}_conv",
-                    )
-                )
-            i += 1
-        assert i == 6
+        vals = build_ssd_ref_values(cfg)
         ckpt = save_slim_checkpoint(vals, str(tmp_path / "ref_ssd.ckpt"))
 
         n_loaded, n_total = convert_zoo_checkpoint(
@@ -202,18 +208,7 @@ def test_convert_detector_cli(tmp_path):
     from luminoth_tpu.utils.config import dump_config
 
     cfg = _frcnn_config(tmp_path)
-    shapes = _our_param_shapes(cfg, (64, 64))
-    _, backbone_vals = make_slim_resnet_values(50)
-    prefix = "fasterrcnn/truncated_base_network"
-    vals = {
-        f"{prefix}/{name}": value
-        for name, value in backbone_vals.items()
-        if "logits" not in name and name != "global_step"
-    }
-    rng = np.random.RandomState(7)
-    for head in ("rpn/conv", "rpn/cls_conv", "rpn/bbox_conv",
-                 "rcnn/fc_classifier", "rcnn/fc_bbox"):
-        vals.update(_head_vals(rng, shapes, head, f"fasterrcnn/{head}"))
+    vals = build_frcnn_ref_values(cfg)
     ckpt = save_slim_checkpoint(vals, str(tmp_path / "ref.ckpt"))
 
     config_path = str(tmp_path / "config.yml")
