@@ -211,6 +211,12 @@ def nms_padded_batch(boxes, scores, iou_threshold, max_outputs, valid=None,
             valid_p.astype(jnp.float32),
             float(iou_threshold),
             tile=tile,
+            # This function only ever reads the top ``max_outputs`` alive
+            # entries (the top_k below): the kernel's exact prefix early
+            # exit skips suppression work once that many survivors exist
+            # in the processed score-sorted prefix. Biggest on uncapped
+            # eval-semantics per-class NMS (N ≫ max_outputs).
+            max_survivors=int(max_outputs),
         )[:, :n] > 0.5
     else:
         block = min(block_size or _default_block(n), n)

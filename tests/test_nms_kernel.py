@@ -101,3 +101,43 @@ class TestNMSKernel:
             ref = np_nms(all_boxes[row], all_scores[row], 0.5)
             got = orders[row][np.nonzero(alive[row])[0]]
             np.testing.assert_array_equal(np.sort(got), np.sort(ref))
+
+    def test_early_exit_preserves_top_k(self, rng):
+        """max_survivors > 0 may leave alive bits past the exit point
+        unspecified, but the top-``max_survivors`` alive entries (all a
+        consumer reads) must exactly match the full sweep's — across
+        sparse and dense scenes, multiple k values, and k landing inside
+        any tile."""
+        n, tile = 256, 64
+        for spread, k in ((30.0, 8), (30.0, 40), (60.0, 16),
+                          (200.0, 16), (60.0, 100)):
+            boxes = random_boxes(rng, n, spread=spread)
+            scores = rng.uniform(0, 1, n).astype(np.float32)
+            order = np.argsort(-scores)
+            boxes_s = boxes[order]
+            full = run_kernel(boxes_s, np.ones(n), 0.5, tile)
+            g_boxes = jnp.asarray(boxes_s)[None].transpose(0, 2, 1)
+            early = np.asarray(nms_alive_pallas(
+                g_boxes, jnp.ones((1, n), jnp.float32), 0.5, tile=tile,
+                max_survivors=k, interpret=True,
+            )[0]) > 0.5
+            # Top-k alive positions agree (positions are score-sorted, so
+            # "first k alive" == "k highest-scored alive").
+            np.testing.assert_array_equal(
+                np.nonzero(full)[0][:k], np.nonzero(early)[0][:k]
+            )
+
+    def test_early_exit_inert_when_k_exceeds_survivors(self, rng):
+        """Fewer total survivors than max_survivors: the exit never
+        triggers and the mask is bit-identical to the full sweep."""
+        n, tile = 128, 64
+        boxes = random_boxes(rng, n, spread=40.0)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        order = np.argsort(-scores)
+        full = run_kernel(boxes[order], np.ones(n), 0.5, tile)
+        g_boxes = jnp.asarray(boxes[order])[None].transpose(0, 2, 1)
+        early = np.asarray(nms_alive_pallas(
+            g_boxes, jnp.ones((1, n), jnp.float32), 0.5, tile=tile,
+            max_survivors=int(full.sum()) + 5, interpret=True,
+        )[0]) > 0.5
+        np.testing.assert_array_equal(full, early)
