@@ -30,6 +30,7 @@ from luminoth_tpu.ops.nms import nms_padded_batch
         "class_nms_threshold",
         "class_max_detections",
         "total_max_detections",
+        "min_prob_threshold",
         "pre_nms_max_candidates",
     ),
 )
@@ -58,6 +59,20 @@ def ssd_proposal(
     Returns:
         dict with ``objects`` (B, T, 4), ``labels`` (B, T), ``probs``
         (B, T), ``valid`` (B, T) for T = total_max_detections.
+
+    At the reference defaults (``min_prob_threshold: 0.5``,
+    ``class_max_detections == total_max_detections``,
+    ssd/base_config.yml:151-159) a fused per-IMAGE path applies: softmax
+    probabilities ≥ 0.5 admit at most one class per anchor, so the
+    per-class candidate lists are disjoint and a single class-offset NMS
+    per image (boxes shifted by ``class·1e4`` so cross-class pairs never
+    overlap) is exactly equivalent to the per-class sweep — with a
+    B-group top-k/NMS instead of B·C groups (the r2-measured proposal
+    bottleneck: ``lax.top_k`` over (B·C, 8732) at 6.7 ms plus the B·C
+    candidate gather). The sole theoretical divergence is two classes
+    tied at exactly prob 0.5 on one anchor (sum of softmax outputs
+    forces every other class to exactly 0), which cannot occur away
+    from a measure-zero float coincidence.
     """
     unbatched = cls_prob.ndim == 2
     if unbatched:
@@ -74,6 +89,50 @@ def ssd_proposal(
     area_valid = (
         jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0) > 0.0
     )[..., 0]  # (B, A)
+
+    fused = (
+        float(min_prob_threshold) >= 0.5
+        and class_max_detections >= total_max_detections
+    )
+    if fused:
+        fg = cls_prob[..., 1:]  # (B, A, C)
+        best_prob = jnp.max(fg, axis=-1)  # (B, A)
+        best_class = jnp.argmax(fg, axis=-1).astype(jnp.int32)
+        valid_a = (best_prob >= min_prob_threshold) & area_valid
+        k = min(pre_nms_max_candidates, num_anchors)
+        masked = jnp.where(valid_a, best_prob, -1.0)
+        top_scores, top_idx = jax.lax.top_k(masked, k)  # (B, K)
+        boxes_c = jnp.take_along_axis(
+            clipped, top_idx[..., None], axis=1
+        )  # (B, K, 4)
+        classes_c = jnp.take_along_axis(best_class, top_idx, axis=1)
+        valid_c = top_scores > -1.0
+        # Boxes clip to im_shape (≤ a few thousand px); a 1e4 per-class
+        # shift keeps classes in disjoint coordinate islands, exactly in
+        # f32 for any real class count.
+        nms_boxes = boxes_c + (
+            classes_c[..., None].astype(jnp.float32) * 1e4
+        )
+        keep_idx, keep_mask = nms_padded_batch(
+            nms_boxes, top_scores, float(class_nms_threshold),
+            total_max_detections, valid=valid_c, presorted=True,
+        )
+        top_probs = jnp.where(
+            keep_mask,
+            jnp.take_along_axis(top_scores, keep_idx, axis=1),
+            -1.0,
+        )
+        result = {
+            "objects": jnp.take_along_axis(
+                boxes_c, keep_idx[..., None], axis=1
+            ),
+            "labels": jnp.take_along_axis(classes_c, keep_idx, axis=1),
+            "probs": jnp.maximum(top_probs, 0.0),
+            "valid": keep_mask,
+        }
+        if unbatched:
+            result = {k2: v[0] for k2, v in result.items()}
+        return result
 
     scores = cls_prob[..., 1:].transpose(0, 2, 1)  # (B, C, A)
     valid = (
