@@ -31,6 +31,17 @@ Alternatives measured on hardware and REJECTED (all slower end to end):
     M-axis utilization gain at every block size;
   * in-kernel jnp-padded block construction: lane-misaligned (offsets
     of H=38) relayouts dominate.
+  * stored-routing-mask backward (forward emits a uint8 is-window-max
+    mask per pre-pool element; backward routes cotangents through it
+    instead of recomputing the crop): the mask write alone costs
+    +70.6 ms on the forward (75.2 → 145.8 ms at the train shape) —
+    a (B, R, S, S, C) uint8 HBM stream the recompute path never
+    touches — and the masked backward kernel does not lower on the
+    TPU Mosaic backend at all (uint8→f32 `astype` inside the kernel is
+    an unsupported cast; it only ever ran under interpret=True). The
+    recompute backward (:func:`_roi_bwd_kernel`) wins outright, so the
+    masked formulation was measured, recorded here, and deleted
+    (round 4; it last existed at commit 818af01).
 """
 
 from functools import partial
@@ -41,9 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _roi_kernel(wy_ref, wx_ref, fmt_ref, out_ref, *refs, tile_r, s, pool,
-                emit_mask=False):
-    mask_ref = refs[0] if emit_mask else None
+def _roi_kernel(wy_ref, wx_ref, fmt_ref, out_ref, *, tile_r, s, pool):
     h = wy_ref.shape[-1]
     w = wx_ref.shape[-1]
     c = fmt_ref.shape[-1] // h
@@ -77,14 +86,7 @@ def _roi_kernel(wy_ref, wx_ref, fmt_ref, out_ref, *refs, tile_r, s, pool,
         ).reshape(s, s, c)  # (y, x, c) — already in output order
         if pool:
             win = crop.reshape(s // 2, 2, s // 2, 2, c)
-            win_max = jnp.max(win, axis=(1, 3), keepdims=True)
-            if emit_mask:
-                # Backward routing: 1 where the element is its 2x2
-                # window's max (ties keep every max, split in the VJP).
-                mask_ref[0, j] = (win == win_max).astype(
-                    jnp.uint8
-                ).reshape(s, s, c)
-            crop = win_max.reshape(s // 2, s // 2, c)
+            crop = jnp.max(win, axis=(1, 3))
         out_ref[0, j] = crop.astype(out_ref.dtype)
 
 
@@ -248,125 +250,6 @@ def _roi_align_bwd_pallas(feature_map, wy, wx, g, crop_size, tile_r=8,
     return d_fmt.reshape(b, w, h, c).transpose(0, 2, 1, 3)
 
 
-def _roi_bwd_mask_kernel(wy_ref, wx_ref, g_ref, mask_ref, dout_ref, *,
-                         tile_r, s):
-    """Mask-routed backward: no crop recompute, no feature-map input.
-
-    The forward stored a uint8 is-window-max mask per pre-pool element;
-    routing the pooled cotangent through it replaces the stage-1+stage-2
-    recompute matmuls (and one corner turn per ROI) with a few VPU ops.
-    """
-    h = wy_ref.shape[-1]
-    w = wx_ref.shape[-1]
-    c = dout_ref.shape[-1] // h
-    i = pl.program_id(1)
-
-    wx_all = wx_ref[0].reshape(tile_r * s, w)  # f32
-
-    d_cols_rows = []
-    for j in range(tile_r):
-        m = mask_ref[0, j].astype(jnp.float32).reshape(
-            s // 2, 2, s // 2, 2, c
-        )
-        ties = jnp.sum(m, axis=(1, 3), keepdims=True)
-        g_win = g_ref[0, j].astype(jnp.float32).reshape(
-            s // 2, 1, s // 2, 1, c
-        )
-        g_crop = (m / ties * g_win).reshape(s, s * c)
-        wy = wy_ref[0, j]  # (S_y, H) f32
-        d_cols = jnp.dot(
-            wy.T, g_crop, preferred_element_type=jnp.float32
-        )
-        d_cols_rows.append(
-            d_cols.reshape(h, s, c).transpose(1, 0, 2).reshape(s, h * c)
-        )
-    d_cols_all = jnp.concatenate(d_cols_rows, axis=0)
-    d_fmt = jnp.dot(
-        wx_all.T, d_cols_all, preferred_element_type=jnp.float32
-    )
-
-    @pl.when(i == 0)
-    def _init():
-        dout_ref[...] = jnp.zeros(dout_ref.shape, dout_ref.dtype)
-
-    dout_ref[...] += d_fmt[None]
-
-
-@partial(
-    jax.jit,
-    static_argnames=("crop_size", "tile_r", "h", "w", "interpret"),
-)
-def _roi_align_bwd_pallas_masked(wy, wx, g, mask, crop_size, h, w,
-                                 tile_r=8, interpret=False,
-                                 f32_fm=False):
-    """d_feature_map from the stored routing mask. Returns f32 (B,H,W,C)."""
-    b = wy.shape[0]
-    r = wy.shape[1]
-    s = crop_size
-    c = g.shape[-1]
-
-    if f32_fm:
-        tile_r = max(2, tile_r // 2)
-
-    num_tiles = -(-r // tile_r)
-    pad = num_tiles * tile_r - r
-    if pad:
-        wy = jnp.pad(wy, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        wx = jnp.pad(wx, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        g = jnp.pad(g, ((0, 0), (0, pad)) + ((0, 0),) * (g.ndim - 2))
-        # Padded mask rows must be non-zero so ties never divides by 0.
-        mask = jnp.pad(
-            mask, ((0, 0), (0, pad)) + ((0, 0),) * (mask.ndim - 2),
-            constant_values=1,
-        )
-
-    wy = wy.astype(jnp.float32)
-    wx = wx.astype(jnp.float32)
-    out_s = s // 2
-
-    d_fmt = pl.pallas_call(
-        partial(_roi_bwd_mask_kernel, tile_r=tile_r, s=s),
-        grid=(b, num_tiles),
-        in_specs=[
-            pl.BlockSpec(
-                (1, tile_r, s, h), lambda bi, i: (bi, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile_r, s, w), lambda bi, i: (bi, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile_r, out_s, out_s, c),
-                lambda bi, i: (bi, i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile_r, s, s, c), lambda bi, i: (bi, i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, w, h * c), lambda bi, i: (bi, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, w, h * c), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * r * s * (h + s) * w * c,
-            bytes_accessed=(
-                b * (h * w * c * 4 + r * s * s * c
-                     + r * out_s * out_s * c * 4)
-            ),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(wy, wx, g, mask)
-    return d_fmt.reshape(b, w, h, c).transpose(0, 2, 1, 3)
-
-
 def _roi_align_bwd(crop_size, pool, interpret, residuals, g):
     feature_map, wy, wx = residuals
     from luminoth_tpu.ops.dispatch import on_tpu as _on_tpu
@@ -463,12 +346,10 @@ roi_align_pallas.defvjp(_roi_align_fwd, _roi_align_bwd)
 
 
 @partial(
-    jax.jit,
-    static_argnames=("crop_size", "tile_r", "pool", "interpret",
-                     "emit_mask"),
+    jax.jit, static_argnames=("crop_size", "tile_r", "pool", "interpret")
 )
 def _roi_align_impl(feature_map, wy, wx, crop_size, tile_r=8, pool=True,
-                    interpret=False, emit_mask=False):
+                    interpret=False):
     """Fused crop(+pool) over precomputed interpolation matrices.
 
     Batched natively: the grid is (batch, roi_tiles) — no vmap needed (and
@@ -517,7 +398,6 @@ def _roi_align_impl(feature_map, wy, wx, crop_size, tile_r=8, pool=True,
     wy = wy.astype(dtype)
     wx = wx.astype(dtype)
 
-    emit_mask = emit_mask and pool
     out_specs = pl.BlockSpec(
         (1, tile_r, out_s, out_s, c),
         lambda bi, i: (bi, i, 0, 0, 0),
@@ -526,18 +406,9 @@ def _roi_align_impl(feature_map, wy, wx, crop_size, tile_r=8, pool=True,
     out_shape = jax.ShapeDtypeStruct(
         (b, num_tiles * tile_r, out_s, out_s, c), dtype
     )
-    if emit_mask:
-        out_specs = [out_specs, pl.BlockSpec(
-            (1, tile_r, s, s, c), lambda bi, i: (bi, i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )]
-        out_shape = [out_shape, jax.ShapeDtypeStruct(
-            (b, num_tiles * tile_r, s, s, c), jnp.uint8
-        )]
 
     out = pl.pallas_call(
-        partial(_roi_kernel, tile_r=tile_r, s=s, pool=pool,
-                emit_mask=emit_mask),
+        partial(_roi_kernel, tile_r=tile_r, s=s, pool=pool),
         grid=(b, num_tiles),
         in_specs=[
             pl.BlockSpec(
@@ -562,18 +433,10 @@ def _roi_align_impl(feature_map, wy, wx, crop_size, tile_r=8, pool=True,
             flops=2 * b * r * s * (h + s) * w * c,
             bytes_accessed=(
                 b * (h * w * c * 2 + r * out_s * out_s * c * 2)
-                + (b * r * s * s * c if emit_mask else 0)
             ),
             transcendentals=0,
         ),
         interpret=interpret,
     )(wy, wx, fmt2d)
-    if emit_mask:
-        out, mask = out
-        out = out[:, :r]
-        mask = mask[:, :r]
-        if unbatched:
-            return out[0], mask[0]
-        return out, mask
     out = out[:, :r]
     return out[0] if unbatched else out

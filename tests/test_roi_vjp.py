@@ -121,47 +121,3 @@ def test_pallas_bwd_with_pool_bf16():
 
 def test_pallas_bwd_batched_many_tiles():
     check_pallas_bwd(pool=True, b=3, n=19, seed=1)
-
-
-def test_pallas_bwd_mask_routed_matches_xla(seed=0):
-    """The stored-routing backward (fwd emits the argmax mask; bwd skips
-    the crop recompute) matches the XLA backward, interpret mode."""
-    from luminoth_tpu.ops.pallas.roi_align_kernel import (
-        _roi_align_bwd_pallas_masked, _roi_align_bwd_xla, _roi_align_impl,
-    )
-
-    b, n, crop_size = 2, 7, 4
-    rng = np.random.RandomState(seed)
-    fm = jnp.asarray(rng.randn(b, 10, 12, 8).astype(np.float32))
-    y1 = rng.uniform(0, 0.5, (b, n))
-    x1 = rng.uniform(0, 0.5, (b, n))
-    boxes = np.stack(
-        [y1, x1, y1 + rng.uniform(0.2, 0.5, (b, n)),
-         x1 + rng.uniform(0.2, 0.5, (b, n))], axis=2
-    ).astype(np.float32)
-    wy, wx = jax.vmap(
-        lambda bx: interp_weights(bx, fm.shape[1], fm.shape[2], crop_size)
-    )(jnp.asarray(boxes))
-    out_s = crop_size // 2
-    g = jnp.asarray(
-        rng.randn(b, n, out_s, out_s, 8).astype(np.float32)
-    )
-
-    pooled, mask = _roi_align_impl(
-        fm, wy, wx, crop_size, pool=True, interpret=True, emit_mask=True
-    )
-    # The mask-less forward output is unchanged.
-    plain = _roi_align_impl(fm, wy, wx, crop_size, pool=True,
-                            interpret=True)
-    np.testing.assert_array_equal(np.asarray(pooled), np.asarray(plain))
-    assert mask.shape == (b, n, crop_size, crop_size, 8)
-    assert mask.dtype == jnp.uint8
-
-    want, _, _ = _roi_align_bwd_xla(crop_size, True, (fm, wy, wx), g)
-    got = _roi_align_bwd_pallas_masked(
-        wy, wx, g, mask, crop_size, fm.shape[1], fm.shape[2],
-        interpret=True,
-    )
-    np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-3
-    )
