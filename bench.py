@@ -1112,6 +1112,9 @@ def main():
             f"bench: skipped for budget ({budget_s:.0f}s): "
             f"{detail['skipped_for_budget']}", file=sys.stderr,
         )
+        # The last per-entry snapshot predates the skip records — emit
+        # once more so the final (tail) JSON line carries them.
+        snap.emit()
 
 
 if __name__ == "__main__":
