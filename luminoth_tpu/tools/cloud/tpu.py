@@ -68,8 +68,19 @@ def _detached(command, log_name):
 
 
 def build_launch_spec(name, zone, accelerator, version, config_path,
-                      num_hosts, coordinator_port=8476):
-    """The per-host launch commands for a distributed training job."""
+                      num_hosts, coordinator_port=8476, job_dir=None,
+                      dataset_dir=None, bucket=None, overrides=()):
+    """The per-host launch commands for a distributed training job.
+
+    ``job_dir`` points the run at a (typically ``gs://``) directory; an
+    existing checkpointed run there resumes — the reference's
+    ``--resume <job_id>`` (tools/cloud/gcloud.py:238,267-270) maps to
+    re-submitting with the same ``job_dir``. ``dataset_dir`` + ``bucket``
+    upload a local dataset to GCS and override ``dataset.dir`` so every
+    host reads it, replacing the reference's ``--dataset`` upload
+    (tools/cloud/gcloud.py:236-266). ``overrides`` are ``-o key=value``
+    config overrides passed through to the remote ``lumi train``.
+    """
     create_cmd = [
         "gcloud", "compute", "tpus", "tpu-vm", "create", name,
         f"--zone={zone}",
@@ -92,6 +103,28 @@ def build_launch_spec(name, zone, accelerator, version, config_path,
         )
         config_path = remote_config
 
+    overrides = list(overrides)
+    if dataset_dir:
+        if dataset_dir.startswith("gs://"):
+            remote_dataset = dataset_dir
+        else:
+            if not bucket:
+                raise ValueError(
+                    "--dataset with a local path needs --bucket to upload to"
+                )
+            remote_dataset = f"gs://{bucket.removeprefix('gs://')}" \
+                f"/lumi-datasets/{name}"
+            copy_cmds.append(
+                ["gsutil", "-m", "rsync", "-r", dataset_dir, remote_dataset]
+            )
+        overrides.append(f"dataset.dir={remote_dataset}")
+    if job_dir:
+        overrides.append(f"train.job_dir={job_dir}")
+
+    train_cmd = f"lumi train -c {config_path}"
+    for ov in overrides:
+        train_cmd += f" -o {shlex.quote(ov)}"
+
     worker_cmds = []
     for process_id in range(num_hosts):
         env = " ".join(
@@ -105,7 +138,7 @@ def build_launch_spec(name, zone, accelerator, version, config_path,
                 "gcloud", "compute", "tpus", "tpu-vm", "ssh", name,
                 f"--zone={zone}", f"--worker={process_id}", "--command",
                 _detached(
-                    f"{env} lumi train -c {config_path}",
+                    f"{env} {train_cmd}",
                     f"lumi-train-w{process_id}.log",
                 ),
             ]
@@ -165,13 +198,22 @@ def tpu():
 @click.option("config_path", "--config", "-c", required=True)
 @click.option("--num-hosts", type=int, default=1,
               help="Number of TPU hosts (pod slices have several).")
+@click.option("--job-dir", default=None,
+              help="Run/checkpoint dir (gs://...); reuse to resume a job.")
+@click.option("--dataset", "dataset_dir", default=None,
+              help="Dataset dir (local uploads to --bucket; gs:// as-is).")
+@click.option("--bucket", default=None,
+              help="GCS bucket for uploading a local --dataset.")
+@click.option("overrides", "--override", "-o", multiple=True,
+              help="Override model config params on the remote train.")
 @click.option("--dry-run", is_flag=True,
               help="Print the commands without executing them.")
 def train(name, zone, accelerator_type, runtime_version, config_path,
-          num_hosts, dry_run):
+          num_hosts, job_dir, dataset_dir, bucket, overrides, dry_run):
     spec = build_launch_spec(
         name, zone, accelerator_type, runtime_version, config_path,
-        num_hosts,
+        num_hosts, job_dir=job_dir, dataset_dir=dataset_dir, bucket=bucket,
+        overrides=overrides,
     )
     _run(spec["create"], dry_run=dry_run)
     for cmd in spec["copy"]:
@@ -187,11 +229,16 @@ def train(name, zone, accelerator_type, runtime_version, config_path,
 @click.option("--runtime-version", default=DEFAULT_VERSION)
 @click.option("config_path", "--config", "-c", required=True)
 @click.option("--num-hosts", type=int, default=1)
+@click.option("--job-dir", default=None)
+@click.option("--dataset", "dataset_dir", default=None)
+@click.option("--bucket", default=None)
+@click.option("overrides", "--override", "-o", multiple=True)
 def spec(name, zone, accelerator_type, runtime_version, config_path,
-         num_hosts):
+         num_hosts, job_dir, dataset_dir, bucket, overrides):
     payload = build_launch_spec(
         name, zone, accelerator_type, runtime_version, config_path,
-        num_hosts,
+        num_hosts, job_dir=job_dir, dataset_dir=dataset_dir, bucket=bucket,
+        overrides=overrides,
     )
     click.echo(json.dumps(payload, indent=2))
 

@@ -27,6 +27,46 @@ class TestCloudSpec:
         assert spec["copy"][0][5] == "config.yml"
         assert "lumi train -c ~/lumi-config.yml" in cmd0
 
+    def test_launch_spec_resume_dataset_and_overrides(self):
+        # Reference capability parity: --dataset upload + --resume
+        # (tools/cloud/gcloud.py:236-270) map to a gsutil rsync +
+        # dataset.dir/train.job_dir overrides on the remote command.
+        from luminoth_tpu.tools.cloud.tpu import build_launch_spec
+
+        spec = build_launch_spec(
+            "myjob", "z", "v5e-8", "v2", "gs://b/cfg.yml", num_hosts=1,
+            job_dir="gs://b/runs/myjob", dataset_dir="/data/voc",
+            bucket="b", overrides=("train.learning_rate.value=0.001",),
+        )
+        rsync = [c for c in spec["copy"] if c[0] == "gsutil"]
+        assert rsync == [[
+            "gsutil", "-m", "rsync", "-r", "/data/voc",
+            "gs://b/lumi-datasets/myjob",
+        ]]
+        cmd = " ".join(spec["train"][0])
+        assert "-o train.learning_rate.value=0.001" in cmd
+        assert "-o dataset.dir=gs://b/lumi-datasets/myjob" in cmd
+        assert "-o train.job_dir=gs://b/runs/myjob" in cmd
+
+        # A gs:// dataset needs no upload and no bucket.
+        spec = build_launch_spec(
+            "j", "z", "v5e-8", "v2", "gs://b/cfg.yml", num_hosts=1,
+            dataset_dir="gs://elsewhere/voc",
+        )
+        assert all(c[0] != "gsutil" for c in spec["copy"])
+        assert "-o dataset.dir=gs://elsewhere/voc" in " ".join(
+            spec["train"][0]
+        )
+
+        # A local dataset without a destination bucket is an error.
+        import pytest
+
+        with pytest.raises(ValueError, match="--bucket"):
+            build_launch_spec(
+                "j", "z", "v5e-8", "v2", "gs://b/cfg.yml", num_hosts=1,
+                dataset_dir="/data/voc",
+            )
+
     def test_gcs_config_is_not_copied(self):
         from luminoth_tpu.tools.cloud.tpu import (
             build_eval_spec,
