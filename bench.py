@@ -857,9 +857,44 @@ class _Snapshot:
     mid-suite timeout no longer zeroes the round (VERDICT r3 #1).
     """
 
+    # Short aliases for the stdout summary: the driver captures only the
+    # TAIL of stdout (~2-3 KB) and json-parses the last line. Round 4's
+    # bench embedded the full detail dict in that line; it grew past the
+    # capture window, got truncated mid-line, and parsed as null despite
+    # rc=0 — a full round of verified numbers lost to line length. The
+    # final line is now compact (<600 chars); the full detail goes to
+    # stderr and BENCH_partial.json instead.
+    _SUMMARY_KEYS = (
+        ("fasterrcnn_train", "frcnn_train"),
+        ("ssd_train", "ssd_train"),
+        ("ssd_inference", "ssd_inf"),
+        ("fasterrcnn_inference_int8_tail", "frcnn_int8"),
+        ("ssd_inference_int8", "ssd_int8"),
+        ("fasterrcnn_inference_serving1000", "serving1000"),
+        ("fasterrcnn_inference_evalnms", "evalnms"),
+    )
+
     def __init__(self, detail):
         self.detail = detail
         self.value = 0.0
+
+    def _summary(self):
+        s = {}
+        for key, alias in self._SUMMARY_KEYS:
+            entry = self.detail.get(key)
+            if isinstance(entry, dict) and "images_per_sec" in entry:
+                s[alias] = entry["images_per_sec"]
+        fast = self.detail.get("fasterrcnn_serving_fast_profile")
+        if isinstance(fast, dict) and "p50_ms" in fast:
+            s["fast_p50_ms"] = fast["p50_ms"]
+        ev = self.detail.get("fasterrcnn_eval")
+        if isinstance(ev, dict) and "composed_images_per_sec" in ev:
+            s["eval_composed"] = ev["composed_images_per_sec"]
+        if self.detail.get("skipped_for_budget"):
+            s["skipped"] = len(self.detail["skipped_for_budget"])
+        if "error" in self.detail:
+            s["error"] = self.detail["error"][:120]
+        return s
 
     def to_json(self):
         return json.dumps({
@@ -867,16 +902,18 @@ class _Snapshot:
             "value": self.value,
             "unit": "images/sec/chip",
             "vs_baseline": round(self.value / _BASELINE_IMG_S, 2),
-            "detail": self.detail,
+            "summary": self._summary(),
         })
 
     def emit(self):
         self._compose_eval()
         line = self.to_json()
+        detail_line = json.dumps({"detail": self.detail})
+        print(f"bench detail: {detail_line}", file=sys.stderr, flush=True)
         print(line, flush=True)
         try:
             with open("BENCH_partial.json", "w") as f:
-                f.write(line + "\n")
+                f.write(detail_line + "\n" + line + "\n")
         except OSError:
             pass
 
