@@ -39,8 +39,15 @@ def _bench(fn, args, iters):
     # Executions are dispatched async and serialize on the device, so
     # fetching the last output is an honest fence for the whole loop.
     # main() pays the tunnel's catastrophic first-fetch cost up front
-    # (see _tunnel_sync), after which a fetch costs ~31 ms of fixed RPC
-    # latency -- amortized over `iters`, noise against 100+ ms steps.
+    # (see _tunnel_sync), after which a fetch costs ~31-40 ms of fixed
+    # RPC latency (varying with the degraded post-poison bandwidth,
+    # 14-27 MB/s measured across runs). Amortized over `iters` that is
+    # noise against 100+ ms steps, but it inflated SSD's ~20 ms steps
+    # by 15-25% and the run-to-run fence variance flipped the r4
+    # int8-vs-bf16 comparison (driver: int8 1366 < bf16 1583; clean
+    # same-process A/B: int8 1790 > bf16 1432). When the first timed
+    # loop is fence-dominated, re-time with iters scaled so the loop
+    # body runs >= ~2 s and the fence is <2% of it.
     import jax
 
     t0 = time.time()
@@ -63,6 +70,13 @@ def _bench(fn, args, iters):
         out = run(*args)
     jax.device_get(out)
     elapsed = time.time() - t0
+    if elapsed < 1.5:
+        iters = min(400, max(iters, int(iters * 2.0 / max(elapsed, 1e-3))))
+        t0 = time.time()
+        for _ in range(iters):
+            out = run(*args)
+        jax.device_get(out)
+        elapsed = time.time() - t0
     return compile_s, elapsed / iters, flops
 
 
@@ -281,7 +295,15 @@ def bench_frcnn_train(batch=8, height=608, width=800, iters=10,
     for _ in range(iters):
         state, metrics = train_step(state, train_batch, key)
     final_loss = float(jax.device_get(metrics["total_loss"]))
-    step_s = (time.time() - t0) / iters
+    elapsed = time.time() - t0
+    if elapsed < 1.5:  # fence-dominated: retime amortized (see _bench)
+        iters = min(200, max(iters, int(iters * 2.0 / max(elapsed, 1e-3))))
+        t0 = time.time()
+        for _ in range(iters):
+            state, metrics = train_step(state, train_batch, key)
+        final_loss = float(jax.device_get(metrics["total_loss"]))
+        elapsed = time.time() - t0
+    step_s = elapsed / iters
     return {
         "images_per_sec": round(batch / step_s, 3),
         "batch": batch,
@@ -412,7 +434,15 @@ def bench_ssd_train(batch=32, iters=10):
     for _ in range(iters):
         state, metrics = train_step(state, train_batch, key)
     final_loss = float(jax.device_get(metrics["total_loss"]))
-    step_s = (time.time() - t0) / iters
+    elapsed = time.time() - t0
+    if elapsed < 1.5:  # fence-dominated: retime amortized (see _bench)
+        iters = min(200, max(iters, int(iters * 2.0 / max(elapsed, 1e-3))))
+        t0 = time.time()
+        for _ in range(iters):
+            state, metrics = train_step(state, train_batch, key)
+        final_loss = float(jax.device_get(metrics["total_loss"]))
+        elapsed = time.time() - t0
+    step_s = elapsed / iters
     return {
         "images_per_sec": round(batch / step_s, 3),
         "batch": batch,
