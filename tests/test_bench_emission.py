@@ -44,7 +44,8 @@ def _full_detail():
     for key in [
         "fasterrcnn_inference", "fasterrcnn_train", "ssd_train",
         "ssd_inference", "fasterrcnn_inference_int8_tail",
-        "ssd_inference_int8", "fasterrcnn_inference_serving1000",
+        "ssd_inference_int8", "ssd_inference_b128",
+        "ssd_inference_int8_b128", "fasterrcnn_inference_serving1000",
         "fasterrcnn_inference_evalnms", "mesh_singlechip_gspmd",
         "fasterrcnn_eval", "fasterrcnn_train_pipeline",
     ]:
