@@ -1,13 +1,18 @@
 """Benchmark suite: detector throughput on one chip, realistic weights.
 
 Prints the result JSON line {"metric", "value", "unit", "vs_baseline",
-"detail"} INCREMENTALLY: a fresh, complete snapshot line is printed and
-flushed after every finished entry, so the LAST line on stdout is always
-the most complete result — a driver that times the suite out mid-run
-still captures everything measured so far (round 3 lost all its numbers
-to exactly that: rc=124, parsed null). The same snapshot is mirrored to
-``BENCH_partial.json`` and a SIGTERM/SIGINT handler emits one final
-snapshot before dying.
+"summary"} INCREMENTALLY: a fresh, complete snapshot line is printed
+and flushed after every finished entry, so the LAST line on stdout is
+always the most complete result — a driver that times the suite out
+mid-run still captures everything measured so far (round 3 lost all
+its numbers to exactly that: rc=124, parsed null). The stdout line
+stays COMPACT (<1 KB, pinned by tests/test_bench_emission.py): the
+driver json-parses only the tail of stdout, and round 4 lost its
+numbers to a final line that inlined the full detail dict and got
+truncated mid-line (rc=0, parsed null). Full per-entry detail goes to
+stderr and ``BENCH_partial.json`` (one JSON document:
+{"result": ..., "detail": ...}); a SIGTERM/SIGINT handler emits one
+final snapshot before dying.
 
 The headline metric is Faster R-CNN ResNet-101 (COCO config) inference
 images/sec/chip vs the reference's published eval throughput of ~1.6
@@ -44,10 +49,13 @@ def _bench(fn, args, iters):
     # 14-27 MB/s measured across runs). Amortized over `iters` that is
     # noise against 100+ ms steps, but it inflated SSD's ~20 ms steps
     # by 15-25% and the run-to-run fence variance flipped the r4
-    # int8-vs-bf16 comparison (driver: int8 1366 < bf16 1583; clean
-    # same-process A/B: int8 1790 > bf16 1432). When the first timed
-    # loop is fence-dominated, re-time with iters scaled so the loop
-    # body runs >= ~2 s and the fence is <2% of it.
+    # int8-vs-bf16 comparison (driver: int8 1366 < bf16 1583 img/s).
+    # Provenance of the A/B numbers: the PRE-fix same-process A/B
+    # (still 10-iter, fence-inflated) read int8 1790 > bf16 1432;
+    # with this amortization the steady numbers are int8 2215-2224 >
+    # bf16 1814-1830 (scripts/ssd_int8_ab.py, STATUS.md r5 table).
+    # When the first timed loop is fence-dominated, re-time with iters
+    # grown until the loop body runs >= ~2 s so the fence is <2% of it.
     import jax
 
     t0 = time.time()
@@ -65,19 +73,29 @@ def _bench(fn, args, iters):
     jax.device_get(out)
     compile_s = time.time() - t0
 
-    t0 = time.time()
-    for _ in range(iters):
-        out = run(*args)
-    jax.device_get(out)
-    elapsed = time.time() - t0
-    if elapsed < 1.5:
-        iters = min(400, max(iters, int(iters * 2.0 / max(elapsed, 1e-3))))
+    def run_n(n):
         t0 = time.time()
-        for _ in range(iters):
+        for _ in range(n):
             out = run(*args)
         jax.device_get(out)
-        elapsed = time.time() - t0
-    return compile_s, elapsed / iters, flops
+        return time.time() - t0
+
+    step_s, _ = _amortized_time(run_n, iters, cap=2000)
+    return compile_s, step_s, flops
+
+
+def _amortized_time(run_n, iters, cap):
+    """Time ``run_n(n)`` (n iterations + one fence) with the fence cost
+    amortized: if the first window is fence-dominated, keep growing the
+    iteration count until the loop body runs >= ~2 s (so a ~40 ms fence
+    is <2% of it) or ``cap`` is reached. The growth factor uses the
+    still-inflated per-iter estimate, so it can undershoot once — hence
+    the loop, not a single retime. Returns (per_iter_s, iters_used)."""
+    elapsed = run_n(iters)
+    while elapsed < 1.5 and iters < cap:
+        iters = min(cap, max(iters + 1, int(iters * 2.0 / max(elapsed, 1e-3))))
+        elapsed = run_n(iters)
+    return elapsed / iters, iters
 
 
 # Peak dense-matmul rates per chip (public spec sheets), for the MFU
@@ -291,19 +309,18 @@ def bench_frcnn_train(batch=8, height=608, width=800, iters=10,
     jax.device_get(metrics["total_loss"])  # honest fence, see _bench
     compile_s = time.time() - t0
 
-    t0 = time.time()
-    for _ in range(iters):
-        state, metrics = train_step(state, train_batch, key)
-    final_loss = float(jax.device_get(metrics["total_loss"]))
-    elapsed = time.time() - t0
-    if elapsed < 1.5:  # fence-dominated: retime amortized (see _bench)
-        iters = min(200, max(iters, int(iters * 2.0 / max(elapsed, 1e-3))))
+    loss_box = {}
+
+    def run_n(n):
+        nonlocal state
         t0 = time.time()
-        for _ in range(iters):
+        for _ in range(n):
             state, metrics = train_step(state, train_batch, key)
-        final_loss = float(jax.device_get(metrics["total_loss"]))
-        elapsed = time.time() - t0
-    step_s = elapsed / iters
+        loss_box["v"] = float(jax.device_get(metrics["total_loss"]))
+        return time.time() - t0
+
+    step_s, _ = _amortized_time(run_n, iters, cap=200)
+    final_loss = loss_box["v"]
     return {
         "images_per_sec": round(batch / step_s, 3),
         "batch": batch,
@@ -430,19 +447,18 @@ def bench_ssd_train(batch=32, iters=10):
     jax.device_get(metrics["total_loss"])  # honest fence, see _bench
     compile_s = time.time() - t0
 
-    t0 = time.time()
-    for _ in range(iters):
-        state, metrics = train_step(state, train_batch, key)
-    final_loss = float(jax.device_get(metrics["total_loss"]))
-    elapsed = time.time() - t0
-    if elapsed < 1.5:  # fence-dominated: retime amortized (see _bench)
-        iters = min(200, max(iters, int(iters * 2.0 / max(elapsed, 1e-3))))
+    loss_box = {}
+
+    def run_n(n):
+        nonlocal state
         t0 = time.time()
-        for _ in range(iters):
+        for _ in range(n):
             state, metrics = train_step(state, train_batch, key)
-        final_loss = float(jax.device_get(metrics["total_loss"]))
-        elapsed = time.time() - t0
-    step_s = elapsed / iters
+        loss_box["v"] = float(jax.device_get(metrics["total_loss"]))
+        return time.time() - t0
+
+    step_s, _ = _amortized_time(run_n, iters, cap=200)
+    final_loss = loss_box["v"]
     return {
         "images_per_sec": round(batch / step_s, 3),
         "batch": batch,
@@ -927,6 +943,13 @@ class _Snapshot:
             s["mesh_gspmd_ok"] = bool(mesh.get("ok"))
         if self.detail.get("skipped_for_budget"):
             s["skipped"] = len(self.detail["skipped_for_budget"])
+        # Entries that raised store {"error": ...} and carry no
+        # images_per_sec, so the loop above skips them — surface their
+        # names so a failed entry is distinguishable from one never run.
+        failed = [k for k, v in self.detail.items()
+                  if isinstance(v, dict) and "error" in v]
+        if failed:
+            s["failed"] = failed[:6]
         if "error" in self.detail:
             s["error"] = self.detail["error"][:120]
         return s
@@ -947,8 +970,11 @@ class _Snapshot:
         print(f"bench detail: {detail_line}", file=sys.stderr, flush=True)
         print(line, flush=True)
         try:
+            # One JSON document, so json.load() on the file keeps working.
             with open("BENCH_partial.json", "w") as f:
-                f.write(detail_line + "\n" + line + "\n")
+                f.write(json.dumps(
+                    {"result": json.loads(line), "detail": self.detail}
+                ) + "\n")
         except OSError:
             pass
 
@@ -1083,18 +1109,28 @@ def main():
         )
 
     # (key, group, est_s, thunk, sink) in priority order — headline
-    # first, then train/ssd/int8 (the r3 additions the judge wants
-    # verified), serving/eval, and the slow pipeline/loader sweeps last.
-    # est_s are r2/r3 measured wall costs (compile-dominated) + margin.
+    # first, then the cheap ssd/int8/b128/mesh entries, then FRCNN
+    # train, then serving/eval, and the slow pipeline/loader sweeps
+    # last. est_s are measured wall costs (compile-dominated) + margin.
+    #
+    # Why FRCNN train sits AFTER the b128/mesh entries: its ~600 s
+    # cold compile is the single biggest budget hazard, and whether
+    # the persistent cache hits depends on which remote pool host the
+    # process attaches to (the backend fingerprint is part of JAX's
+    # cache key; the computation hash itself was verified bit-stable
+    # across processes and source-line shifts). On a warm attachment
+    # the entry costs ~90 s and everything downstream still runs; on a
+    # cold one it must not starve the entries no driver run has
+    # captured yet. est_s 400 splits the hit/miss costs so the budget
+    # check skips it when the remaining window clearly can't afford a
+    # cold compile.
     entries = [
         ("fasterrcnn_inference", ("frcnn",), 150,
          lambda: bench_frcnn_inference(batch=batch), _set_headline),
-        ("fasterrcnn_train", ("train",), 160,
-         lambda: bench_frcnn_train(batch=batch), None),
-        ("ssd_train", ("train",), 110,
-         lambda: bench_ssd_train(), None),
         ("ssd_inference", ("ssd",), 90,
          lambda: bench_ssd_inference(), None),
+        ("ssd_train", ("train",), 110,
+         lambda: bench_ssd_train(), None),
         # int8 entries measure the SHIPPED static-calibrated path (what
         # `--profile fast` composes). History, so the finding stays
         # visible: the first int8 formulation (9-shifted-dots conv +
@@ -1135,6 +1171,10 @@ def main():
         # and still needs driver evidence.
         ("mesh_singlechip_gspmd", ("mesh",), 160,
          lambda: bench_mesh_singlechip(), None),
+        # est 400 = midpoint of warm-attachment (~90 s) vs cold-compile
+        # (~650 s) cost — see the ordering note above.
+        ("fasterrcnn_train", ("train",), 400,
+         lambda: bench_frcnn_train(batch=batch), None),
         ("fasterrcnn_inference_serving1000", ("serving",), 120,
          _serving1000, None),
         ("fasterrcnn_serving_fast_profile", ("predict",), 150,

@@ -22,17 +22,25 @@ import bench  # noqa: E402
 
 
 def main():
+    variants = [
+        ("ssd_bf16", []),
+        ("ssd_int8_static",
+         ["model.base_network.int8_trunk=True",
+          "model.base_network.int8_static=True"]),
+        # The dynamic-quant variant separates lowering cost from
+        # calibration cost.
+        ("ssd_int8_dynamic", ["model.base_network.int8_trunk=True"]),
+    ]
     results = {}
-    results["ssd_bf16"] = bench.bench_ssd_inference()
-    results["ssd_int8_static"] = bench.bench_ssd_inference(
-        overrides=["model.base_network.int8_trunk=True",
-                   "model.base_network.int8_static=True"]
-    )
-    # Also the dynamic-quant variant, to separate lowering cost from
-    # calibration cost.
-    results["ssd_int8_dynamic"] = bench.bench_ssd_inference(
-        overrides=["model.base_network.int8_trunk=True"]
-    )
+    for name, overrides in variants:
+        # Print each result as it lands: a crash in a later variant
+        # (e.g. a remote-compile payload error) must not lose the
+        # hundreds of seconds of compile already spent on earlier ones.
+        try:
+            results[name] = bench.bench_ssd_inference(overrides=overrides)
+        except Exception as e:  # noqa: BLE001 - record and continue
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(json.dumps({name: results[name]}), flush=True)
     print(json.dumps(results, indent=2))
 
 

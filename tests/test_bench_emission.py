@@ -95,9 +95,21 @@ def test_emit_writes_full_detail_to_partial_file(tmp_path, monkeypatch):
     snap = bench._Snapshot(_full_detail())
     snap.value = 34.392
     snap.emit()
-    lines = (tmp_path / "BENCH_partial.json").read_text().splitlines()
-    assert len(lines) == 2
-    full = json.loads(lines[0])
-    assert full["detail"]["fasterrcnn_inference"]["mfu"] == 0.5205
-    compact = json.loads(lines[1])
-    assert compact["value"] == 34.392
+    # One JSON document: json.load() on the file must keep working.
+    with open(tmp_path / "BENCH_partial.json") as f:
+        doc = json.load(f)
+    assert doc["detail"]["fasterrcnn_inference"]["mfu"] == 0.5205
+    assert doc["result"]["value"] == 34.392
+
+
+def test_failed_entries_surface_in_summary():
+    bench = _load_bench()
+    detail = _full_detail()
+    detail["ssd_inference"] = {"error": "RuntimeError: chip on fire"}
+    snap = bench._Snapshot(detail)
+    snap.value = 34.392
+    parsed = json.loads(snap.to_json())
+    # A raised entry is distinguishable from one never run.
+    assert parsed["summary"]["failed"] == ["ssd_inference"]
+    assert "ssd_inf" not in parsed["summary"]
+    assert len(snap.to_json()) < 1000
