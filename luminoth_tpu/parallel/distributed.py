@@ -14,10 +14,25 @@ import os
 ENV_COORDINATOR = "LUMI_COORDINATOR"
 ENV_NUM_PROCESSES = "LUMI_NUM_PROCESSES"
 ENV_PROCESS_ID = "LUMI_PROCESS_ID"
+ENV_AUTO = "LUMI_DISTRIBUTED_AUTO"
 
 
 def initialize_from_env(environ=None):
-    """Join the distributed runtime when LUMI_COORDINATOR is set.
+    """Join the distributed runtime when the environment asks for it.
+
+    Two modes:
+
+    * ``LUMI_COORDINATOR=host:port`` (+ ``LUMI_NUM_PROCESSES`` /
+      ``LUMI_PROCESS_ID``) — explicit wiring, used by the CPU multi-host
+      tests and any launcher that knows a resolvable coordinator
+      address.
+    * ``LUMI_DISTRIBUTED_AUTO=1`` — ``jax.distributed.initialize()``
+      with no arguments: on Cloud TPU VMs JAX resolves the coordinator
+      (worker 0's internal address), process count, and process id from
+      the TPU metadata server. This is what the cloud launcher sets —
+      a hostname fabricated on the submitter (e.g. ``<tpu-name>-0``)
+      is NOT resolvable on the workers, so auto-detection is the only
+      address source that works there.
 
     Returns True if `jax.distributed.initialize` ran, False when the
     environment selects single-process mode. On the CPU backend (virtual
@@ -26,7 +41,8 @@ def initialize_from_env(environ=None):
     """
     environ = os.environ if environ is None else environ
     coordinator = environ.get(ENV_COORDINATOR)
-    if not coordinator:
+    auto = environ.get(ENV_AUTO, "").lower() in ("1", "true", "yes")
+    if not coordinator and not auto:
         return False
 
     import jax
@@ -34,11 +50,14 @@ def initialize_from_env(environ=None):
     platforms = jax.config.jax_platforms or environ.get("JAX_PLATFORMS", "")
     if "cpu" in platforms:
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    jax.distributed.initialize(
-        coordinator_address=coordinator,
-        num_processes=int(environ.get(ENV_NUM_PROCESSES, "1")),
-        process_id=int(environ.get(ENV_PROCESS_ID, "0")),
-    )
+    if coordinator:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=int(environ.get(ENV_NUM_PROCESSES, "1")),
+            process_id=int(environ.get(ENV_PROCESS_ID, "0")),
+        )
+    else:
+        jax.distributed.initialize()
     return True
 
 
@@ -68,3 +87,13 @@ def worker_env(coordinator_host, coordinator_port, num_processes, process_id):
         ENV_NUM_PROCESSES: str(num_processes),
         ENV_PROCESS_ID: str(process_id),
     }
+
+
+def worker_env_auto():
+    """The env for Cloud TPU workers: JAX metadata auto-detection.
+
+    Used by ``lumi cloud tpu train`` for multi-host pods, where only
+    the workers themselves (via the TPU metadata server) know worker
+    0's resolvable address.
+    """
+    return {ENV_AUTO: "1"}

@@ -17,6 +17,7 @@ import json
 import os
 import shutil
 import tarfile
+import tempfile
 import uuid
 
 import click
@@ -467,11 +468,23 @@ def export(id_or_alias, output):
     path = get_checkpoint_path(entry["id"])
     tar_path = os.path.join(output, f"{entry['id']}.tar")
     with tarfile.open(tar_path, "w") as tar:
-        tar.add(path, arcname=entry["id"])
-        metadata_path = os.path.join(path, "metadata.json")
-        with open(metadata_path, "w") as f:
-            json.dump(entry, f)
-        tar.add(metadata_path, arcname=f"{entry['id']}/metadata.json")
+        # Exclude any metadata.json a pre-fix export left inside the
+        # live bundle: the fresh one below is the authoritative copy,
+        # and tar members with duplicate paths extract
+        # order-dependently.
+        tar.add(path, arcname=entry["id"], filter=lambda ti: (
+            None if os.path.basename(ti.name) == "metadata.json" else ti
+        ))
+        # Write the index entry to a temp file rather than mutating the
+        # live bundle directory (a stale copy in the bundle would drift
+        # from the index after later `edit`s).
+        fd, tmp_path = tempfile.mkstemp(suffix=".json")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(entry, f)
+            tar.add(tmp_path, arcname=f"{entry['id']}/metadata.json")
+        finally:
+            os.unlink(tmp_path)
     click.echo(f"Checkpoint {entry['id']} exported successfully.")
 
 
@@ -534,8 +547,23 @@ def build_index(tar_dir, base_url):
 def import_(path):
     with tarfile.open(path) as tar:
         names = tar.getnames()
-        root = names[0].split("/")[0]
-        safe_extractall(tar, get_checkpoints_directory())
+        if not names:
+            raise click.ClickException("Checkpoint tar is empty.")
+        roots = {n.split("/")[0] for n in names}
+        rooted = len(roots) == 1 and any("/" in n for n in names)
+        if rooted:
+            # export() layout: every member under one <id>/ root.
+            root = next(iter(roots))
+            safe_extractall(tar, get_checkpoints_directory())
+        else:
+            # Flat tar (config.yml etc. at the tar root — the layout
+            # download_remote_checkpoint also accepts): extract into a
+            # fresh bundle directory instead of spilling loose files
+            # into the checkpoints index directory.
+            root = str(uuid.uuid4())[:8]
+            safe_extractall(
+                tar, os.path.join(get_checkpoints_directory(), root)
+            )
     bundle = os.path.join(get_checkpoints_directory(), root)
     metadata_path = os.path.join(bundle, "metadata.json")
     if os.path.exists(metadata_path):

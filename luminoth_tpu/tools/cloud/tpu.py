@@ -7,9 +7,10 @@ list/logs). That product no longer matches the TPU execution model, so this
 module replaces it with Cloud TPU VM orchestration via the ``gcloud`` CLI:
 
 * ``lumi cloud tpu train`` — create (or reuse) a TPU VM/pod, rsync the
-  config + code, and launch ``lumi train`` on every host with the
-  ``jax.distributed`` environment (coordinator + process ids) that the
-  trainer reads (LUMI_COORDINATOR / LUMI_NUM_PROCESSES / LUMI_PROCESS_ID).
+  config + code, and launch ``lumi train`` on every host. Multi-host
+  pods get ``LUMI_DISTRIBUTED_AUTO=1``: the trainer's
+  ``jax.distributed.initialize()`` resolves the coordinator from the
+  TPU metadata server (see ``parallel/distributed.py``).
 * ``lumi cloud tpu spec`` — emit the launch commands without executing
   anything (inspectable, and testable without credentials).
 * ``lumi cloud tpu jobs`` / ``logs`` / ``delete`` — thin wrappers over
@@ -68,7 +69,7 @@ def _detached(command, log_name):
 
 
 def build_launch_spec(name, zone, accelerator, version, config_path,
-                      num_hosts, coordinator_port=8476, job_dir=None,
+                      num_hosts, job_dir=None,
                       dataset_dir=None, bucket=None, overrides=()):
     """The per-host launch commands for a distributed training job.
 
@@ -87,7 +88,7 @@ def build_launch_spec(name, zone, accelerator, version, config_path,
         f"--accelerator-type={accelerator}",
         f"--version={version}",
     ]
-    from luminoth_tpu.parallel.distributed import worker_env
+    from luminoth_tpu.parallel.distributed import worker_env_auto
 
     # A local config file must be shipped to every host before launch;
     # GCS/HTTP paths are readable from the VM directly.
@@ -125,22 +126,21 @@ def build_launch_spec(name, zone, accelerator, version, config_path,
     for ov in overrides:
         train_cmd += f" -o {shlex.quote(ov)}"
 
+    # Multi-host pods use JAX's Cloud TPU auto-detection
+    # (LUMI_DISTRIBUTED_AUTO=1 → jax.distributed.initialize() resolves
+    # worker 0's address from the TPU metadata server). A coordinator
+    # hostname fabricated here on the submitter would not resolve on
+    # the workers. Single-host jobs need no distributed init at all.
+    env_vars = worker_env_auto() if num_hosts > 1 else {}
+    env = " ".join(f"{k}={v}" for k, v in env_vars.items())
     worker_cmds = []
     for process_id in range(num_hosts):
-        env = " ".join(
-            f"{k}={v}"
-            for k, v in worker_env(
-                f"{name}-0", coordinator_port, num_hosts, process_id
-            ).items()
-        )
+        launch = f"{env} {train_cmd}" if env else train_cmd
         worker_cmds.append(
             [
                 "gcloud", "compute", "tpus", "tpu-vm", "ssh", name,
                 f"--zone={zone}", f"--worker={process_id}", "--command",
-                _detached(
-                    f"{env} {train_cmd}",
-                    f"lumi-train-w{process_id}.log",
-                ),
+                _detached(launch, f"lumi-train-w{process_id}.log"),
             ]
         )
     return {"create": create_cmd, "copy": copy_cmds, "train": worker_cmds}
@@ -215,7 +215,23 @@ def train(name, zone, accelerator_type, runtime_version, config_path,
         num_hosts, job_dir=job_dir, dataset_dir=dataset_dir, bucket=bucket,
         overrides=overrides,
     )
-    _run(spec["create"], dry_run=dry_run)
+    # Reuse an existing TPU (the documented resume flow re-submits with
+    # the same --name/--job-dir): `create` errors on a live TPU, so
+    # probe with `describe` first and only create when absent.
+    describe_cmd = [
+        "gcloud", "compute", "tpus", "tpu-vm", "describe", name,
+        f"--zone={zone}",
+    ]
+    exists = False
+    if not dry_run:
+        try:
+            _run(describe_cmd)
+            exists = True
+            click.echo(f"TPU {name} already exists; reusing it.")
+        except click.ClickException:
+            exists = False
+    if not exists:
+        _run(spec["create"], dry_run=dry_run)
     for cmd in spec["copy"]:
         _run(cmd, dry_run=dry_run)
     for cmd in spec["train"]:

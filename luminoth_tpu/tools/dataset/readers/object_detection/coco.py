@@ -67,8 +67,7 @@ class COCOReader(ObjectDetectionReader):
                 ann["image_id"], []
             ).append(ann)
 
-        # Locate the image directory.
-        base = os.path.basename(os.path.dirname(annotation_path))
+        # Candidate image directories, tried in order at read time.
         self._image_dirs = [
             os.path.join(data_dir, split),
             os.path.join(data_dir, "images", split),

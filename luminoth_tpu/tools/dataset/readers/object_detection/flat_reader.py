@@ -1,8 +1,11 @@
-"""Flat reader: one annotation file (.json/.csv) next to each image.
+"""Flat reader: one ``.json`` annotation file next to each image.
 
 reference: luminoth/tools/dataset/readers/object_detection/flat_reader.py.
 ``data_dir/{split}/`` holds image files and sibling ``{name}.json`` files
-with ``{objects_key: [{x1, y1, x2, y2, label?}, ...]}``.
+with ``{objects_key: [{x1, y1, x2, y2, label?}, ...]}``. Like the
+reference (flat_reader.py:178-185), only the json annotation type is
+supported — any other ``annotation_type`` raises up front instead of
+silently yielding an empty dataset.
 """
 
 import json
@@ -25,6 +28,10 @@ class FlatReader(ObjectDetectionReader):
                  default_class=0, objects_key="rects", x_min_key="x1",
                  y_min_key="y1", x_max_key="x2", y_max_key="y2", **kwargs):
         super().__init__(**kwargs)
+        if annotation_type != "json":
+            raise ValueError(
+                "Annotation type {} not supported".format(annotation_type)
+            )
         self._data_dir = data_dir
         self._split = split
         self._annotation_type = annotation_type
@@ -74,7 +81,12 @@ class FlatReader(ObjectDetectionReader):
         try:
             with open(ann_path) as f:
                 data = json.load(f)
-        except (json.JSONDecodeError, OSError):
+        except (json.JSONDecodeError, OSError) as exc:
+            # Corrupt/unreadable annotation: surface it instead of
+            # silently producing an empty dataset.
+            logger.warning("skipping unreadable annotation %s: %s",
+                           ann_path, exc)
+            self.errors += 1
             return []
         if isinstance(data, dict):
             return data.get(self._objects_key, [])

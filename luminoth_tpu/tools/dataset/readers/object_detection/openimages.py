@@ -202,6 +202,19 @@ class OpenImagesReader(ObjectDetectionReader):
             if not gt_boxes:
                 continue
 
+            if self._class_examples:
+                # Drop records whose labels are ALL already at quota so
+                # frequent classes don't over-collect while waiting for
+                # the rarest class to fill — OpenImages is the one
+                # reader where the reference does this balancing
+                # (reference: readers/object_detection/openimages.py:155-165);
+                # the other readers only stop once every class maxes out.
+                labels_in_image = {
+                    self.classes[b["label"]] for b in gt_boxes
+                }
+                if not labels_in_image - self._maxed_out_classes:
+                    continue
+
             record = {
                 "width": width,
                 "height": height,

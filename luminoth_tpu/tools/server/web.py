@@ -144,17 +144,34 @@ class Handler(BaseHTTPRequestHandler):
             self._send_json({"error": "model failed to load"}, status=500)
             return
 
-        objects = PREDICTOR_NETWORK.predict_image(image)
+        # Malformed form fields must come back as HTTP errors, not a
+        # dropped connection (an uncaught exception in do_POST closes
+        # the socket with no response written).
+        try:
+            min_prob = float(params.get("min_prob", 0) or 0)
+            total = int(params["total"]) if params.get("total") else None
+        except (TypeError, ValueError):
+            self._send_json(
+                {"error": "min_prob/total must be numeric"}, status=400
+            )
+            return
+
+        try:
+            objects = PREDICTOR_NETWORK.predict_image(image)
+        except Exception as exc:  # surface predict errors as HTTP 500
+            logger.exception("predict failed")
+            self._send_json(
+                {"error": f"prediction failed: {exc}"}, status=500
+            )
+            return
         # No server-side floor by default: the frontend slider filters
         # client-side (reference web.py:96-104 ships every detection
         # above the forced 0.01 config threshold). API callers can pass
         # a min_prob form field to filter server-side.
-        min_prob = float(params.get("min_prob", 0) or 0)
         if min_prob:
             objects = [o for o in objects if o["prob"] >= min_prob]
-        total = params.get("total")
-        if total:
-            objects = objects[: int(total)]
+        if total is not None:
+            objects = objects[:total]
         self._send_json({"objects": objects})
 
     def log_message(self, fmt, *args):

@@ -20,8 +20,11 @@ class TestCloudSpec:
         assert spec["create"][5] == "myjob"
         assert len(spec["train"]) == 2
         cmd0 = " ".join(spec["train"][0])
-        assert "LUMI_PROCESS_ID=0" in cmd0
-        assert "LUMI_NUM_PROCESSES=2" in cmd0
+        # Multi-host pods rely on JAX's TPU-metadata auto-detection: a
+        # coordinator hostname fabricated on the submitter (the old
+        # "<name>-0") is not resolvable on the workers.
+        assert "LUMI_DISTRIBUTED_AUTO=1" in cmd0
+        assert "LUMI_COORDINATOR" not in cmd0
         # Local config: shipped to every host, remote path in the launch.
         assert len(spec["copy"]) == 1
         assert spec["copy"][0][5] == "config.yml"
