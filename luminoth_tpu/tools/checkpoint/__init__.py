@@ -468,12 +468,14 @@ def export(id_or_alias, output):
     path = get_checkpoint_path(entry["id"])
     tar_path = os.path.join(output, f"{entry['id']}.tar")
     with tarfile.open(tar_path, "w") as tar:
-        # Exclude any metadata.json a pre-fix export left inside the
-        # live bundle: the fresh one below is the authoritative copy,
-        # and tar members with duplicate paths extract
-        # order-dependently.
+        # Exclude a top-level metadata.json a pre-fix export left
+        # inside the live bundle: the fresh one below is the
+        # authoritative copy, and tar members with duplicate paths
+        # extract order-dependently. Only the bundle-root copy is
+        # excluded — nested files named metadata.json are user data.
+        stale = f"{entry['id']}/metadata.json"
         tar.add(path, arcname=entry["id"], filter=lambda ti: (
-            None if os.path.basename(ti.name) == "metadata.json" else ti
+            None if ti.name == stale else ti
         ))
         # Write the index entry to a temp file rather than mutating the
         # live bundle directory (a stale copy in the bundle would drift
@@ -571,6 +573,17 @@ def import_(path):
             entry = json.load(f)
     else:
         entry = {"id": root, "source": "local", "status": "LOCAL"}
+    if entry.get("id") and entry["id"] != root:
+        # The index must point at a directory named by the entry id
+        # (get_checkpoint_path resolves by id) — a flat tar extracts
+        # into a random dir, so move it under the metadata's id.
+        target = os.path.join(get_checkpoints_directory(), entry["id"])
+        if os.path.exists(target):
+            shutil.rmtree(bundle)
+            raise click.ClickException(
+                f"Checkpoint {entry['id']} already exists."
+            )
+        os.rename(bundle, target)
     entry["source"] = "local"
     entry["status"] = "LOCAL"
     db = read_checkpoint_db()

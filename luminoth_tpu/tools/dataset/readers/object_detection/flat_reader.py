@@ -49,6 +49,7 @@ class FlatReader(ObjectDetectionReader):
                     f"Directory does not exist: {self._split_path}"
                 )
 
+        self._errored = set()
         self._annotated = []
         for name in sorted(os.listdir(self._split_path)):
             base, ext = os.path.splitext(name)
@@ -83,10 +84,14 @@ class FlatReader(ObjectDetectionReader):
                 data = json.load(f)
         except (json.JSONDecodeError, OSError) as exc:
             # Corrupt/unreadable annotation: surface it instead of
-            # silently producing an empty dataset.
-            logger.warning("skipping unreadable annotation %s: %s",
-                           ann_path, exc)
-            self.errors += 1
+            # silently producing an empty dataset. _read_objects runs
+            # twice per file (get_classes, then iterate) — count and
+            # log each bad file once.
+            if ann_path not in self._errored:
+                logger.warning("skipping unreadable annotation %s: %s",
+                               ann_path, exc)
+                self._errored.add(ann_path)
+                self.errors += 1
             return []
         if isinstance(data, dict):
             return data.get(self._objects_key, [])

@@ -347,3 +347,76 @@ def test_extractall_checked_rejects_escapes_and_links(tmp_path):
     with make_tar(lambda t: add_file(t, "sub/ok.txt", b"hello")) as tar:
         _extractall_checked(tar, str(dest))
     assert (dest / "sub" / "ok.txt").read_bytes() == b"hello"
+
+
+def test_flat_tar_import_lands_under_metadata_id(zoo_env, tmp_path):
+    """A flat tar (files at the tar root, the layout
+    download_remote_checkpoint accepts) whose metadata.json names an id
+    must extract into checkpoints/<id>/ — the index resolves bundles by
+    id, so a mismatched directory would make the import unusable."""
+    import tarfile
+
+    from luminoth_tpu.tools.checkpoint import (
+        checkpoint,
+        get_checkpoint_path,
+        read_checkpoint_db,
+    )
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    (src / "config.yml").write_text("model:\n  type: fasterrcnn\n")
+    meta = {"id": "abcdef123456", "name": "flat", "alias": "fl"}
+    (src / "metadata.json").write_text(json.dumps(meta))
+    tar_path = str(tmp_path / "flat.tar")
+    with tarfile.open(tar_path, "w") as tar:
+        tar.add(src / "config.yml", arcname="config.yml")
+        tar.add(src / "metadata.json", arcname="metadata.json")
+
+    runner = CliRunner()
+    result = runner.invoke(checkpoint, ["import", tar_path])
+    assert result.exit_code == 0, result.output
+    db = read_checkpoint_db()
+    assert db["checkpoints"][0]["id"] == "abcdef123456"
+    bundle = get_checkpoint_path("abcdef123456")
+    assert os.path.isfile(os.path.join(bundle, "config.yml"))
+
+    # A second import of the same id must fail cleanly, not clobber.
+    result = runner.invoke(checkpoint, ["import", tar_path])
+    assert result.exit_code != 0
+    assert "already exists" in result.output
+
+
+def test_export_keeps_nested_metadata_files(zoo_env, tmp_path):
+    """Only the bundle-root metadata.json is replaced on export; nested
+    files that happen to share the name are user data and must ship."""
+    import tarfile
+
+    from luminoth_tpu.tools.checkpoint import (
+        checkpoint,
+        get_checkpoint_path,
+        read_checkpoint_db,
+    )
+
+    config_path = make_fake_run(zoo_env)
+    runner = CliRunner()
+    result = runner.invoke(
+        checkpoint, ["create", config_path, "--alias", "nested"]
+    )
+    assert result.exit_code == 0, result.output
+    entry = read_checkpoint_db()["checkpoints"][0]
+    bundle = get_checkpoint_path(entry["id"])
+    os.makedirs(os.path.join(bundle, "assets"), exist_ok=True)
+    with open(os.path.join(bundle, "assets", "metadata.json"), "w") as f:
+        json.dump({"user": "data"}, f)
+
+    out_dir = str(tmp_path / "exports")
+    os.makedirs(out_dir, exist_ok=True)
+    result = runner.invoke(
+        checkpoint, ["export", "nested", "--output", out_dir]
+    )
+    assert result.exit_code == 0, result.output
+    with tarfile.open(os.path.join(out_dir, f"{entry['id']}.tar")) as tar:
+        names = tar.getnames()
+    assert f"{entry['id']}/assets/metadata.json" in names
+    # Exactly one top-level metadata.json (the fresh index entry).
+    assert names.count(f"{entry['id']}/metadata.json") == 1

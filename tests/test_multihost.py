@@ -21,10 +21,9 @@ import numpy as np
 import pytest
 
 from luminoth_tpu.parallel.distributed import (
-    ENV_COORDINATOR,
-    ENV_NUM_PROCESSES,
-    ENV_PROCESS_ID,
+    ENV_AUTO,
     worker_env,
+    worker_env_auto,
 )
 from luminoth_tpu.tools.cloud.tpu import build_launch_spec
 
@@ -66,23 +65,22 @@ def _launch(extra_env):
 
 def test_launch_spec_env_matches_trainer_protocol():
     """The cloud launcher must emit exactly the env vars the trainer
-    reads — the contract that makes the DCN path non-dead-code."""
+    reads — the contract that makes the DCN path non-dead-code. On
+    Cloud TPU pods the launcher emits LUMI_DISTRIBUTED_AUTO=1 (JAX
+    resolves the coordinator from the TPU metadata server; a hostname
+    fabricated on the submitter would not resolve on the workers)."""
     spec = build_launch_spec(
         "job", "us-central1-a", "v5e-16", "tpu-ubuntu2204", "cfg.yml",
-        num_hosts=4, coordinator_port=1234,
+        num_hosts=4,
     )
     assert len(spec["train"]) == 4
-    for process_id, cmd in enumerate(spec["train"]):
+    for cmd in spec["train"]:
         launch = cmd[-1]
-        for key, value in worker_env(
-            "job-0", 1234, 4, process_id
-        ).items():
+        for key, value in worker_env_auto().items():
             assert f"{key}={value}" in launch
         # No stale/unknown LUMI_ vars beyond the protocol.
-        assert launch.count("LUMI_") == 3
-    assert {ENV_COORDINATOR, ENV_NUM_PROCESSES, ENV_PROCESS_ID} == {
-        "LUMI_COORDINATOR", "LUMI_NUM_PROCESSES", "LUMI_PROCESS_ID"
-    }
+        assert launch.count("LUMI_") == 1
+    assert ENV_AUTO == "LUMI_DISTRIBUTED_AUTO"
 
 
 @pytest.mark.slow
@@ -124,3 +122,22 @@ def test_two_process_dp_matches_single_process():
     for res in results:
         assert res["resume_step"] == 7
         assert res["resume_w"] == pytest.approx(1.5)
+
+
+def test_initialize_from_env_auto_mode(monkeypatch):
+    """LUMI_DISTRIBUTED_AUTO=1 must call jax.distributed.initialize()
+    with NO arguments — on Cloud TPU the coordinator address comes from
+    the TPU metadata server, not from env wiring."""
+    import jax
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda *a, **kw: calls.append((a, kw)),
+    )
+    from luminoth_tpu.parallel.distributed import initialize_from_env
+
+    assert not initialize_from_env(environ={})
+    assert calls == []
+    assert initialize_from_env(environ=worker_env_auto())
+    assert calls == [((), {})]
