@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -313,7 +314,51 @@ class TestServer:
                 payload = json.load(resp)
             # dog (0.2) filtered by min_prob 0.5
             assert len(payload["objects"]) == 1
+
+            # Malformed numeric fields must come back as HTTP 400 with
+            # a JSON error, not a dropped connection.
+            def post_form(fields):
+                form = b""
+                for name, value in fields.items():
+                    form += f"--{boundary}\r\n".encode()
+                    if name == "image":
+                        form += (
+                            b'Content-Disposition: form-data; '
+                            b'name="image"; filename="a.jpg"\r\n'
+                            b"Content-Type: image/jpeg\r\n\r\n"
+                        ) + value + b"\r\n"
+                    else:
+                        form += (
+                            f'Content-Disposition: form-data; '
+                            f'name="{name}"\r\n\r\n{value}\r\n'
+                        ).encode()
+                form += f"--{boundary}--\r\n".encode()
+                return urllib.request.Request(
+                    f"http://127.0.0.1:{port}/api/fasterrcnn/predict/",
+                    data=form, method="POST",
+                    headers={"Content-Type":
+                             f"multipart/form-data; boundary={boundary}"},
+                )
+
+            bad = post_form({"image": img_bytes, "min_prob": "abc"})
+            with pytest.raises(urllib.error.HTTPError) as exc_info:
+                urllib.request.urlopen(bad, timeout=5)
+            assert exc_info.value.code == 400
+            assert "error" in json.load(exc_info.value)
+
+            # A predictor exception must surface as HTTP 500 JSON.
+            class BrokenNetwork:
+                def predict_image(self, image):
+                    raise RuntimeError("boom")
+
+            web_mod.PREDICTOR_NETWORK = BrokenNetwork()
+            broken = post_form({"image": img_bytes})
+            with pytest.raises(urllib.error.HTTPError) as exc_info:
+                urllib.request.urlopen(broken, timeout=5)
+            assert exc_info.value.code == 500
+            assert "boom" in json.load(exc_info.value)["error"]
         finally:
+            web_mod.PREDICTOR_NETWORK = None
             httpd.shutdown()
 
 
