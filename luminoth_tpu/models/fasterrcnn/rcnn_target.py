@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from luminoth_tpu.ops.boxes import encode, iou_matrix
+from luminoth_tpu.ops.select import gather_rows
 from luminoth_tpu.models.fasterrcnn.rpn_target import _keep_random_quota
 
 
@@ -72,7 +73,9 @@ def rcnn_target_assign(
     )
     labels = jnp.where(bg_cond, 0.0, labels)
 
-    best_fg_labels = gt[:, 4][best_gt_idx] + 1.0
+    # (G,)-table lookups via gather_rows: XLA's dynamic gather from
+    # a tiny table is a measured multi-ms TPU cost at (P,) scale.
+    best_fg_labels = gather_rows(gt[:, 4], best_gt_idx) + 1.0
     iou_is_fg = (max_overlaps >= foreground_threshold) & proposals_valid
     labels = jnp.where(iou_is_fg, best_fg_labels, labels)
 
@@ -97,7 +100,9 @@ def rcnn_target_assign(
     num_gt = claim.shape[0]
     winner_gt = (num_gt - 1) - jnp.argmax(claim[::-1], axis=0)  # (P,) last claiming gt
     is_best = jnp.any(claim, axis=0)  # (P,)
-    labels = jnp.where(is_best, gt[:, 4][winner_gt] + 1.0, labels)
+    labels = jnp.where(
+        is_best, gather_rows(gt[:, 4], winner_gt) + 1.0, labels
+    )
 
     # Subsample: at most max_fg positives, then fill with backgrounds.
     fg_key, bg_key = jax.random.split(key)
@@ -116,7 +121,7 @@ def rcnn_target_assign(
     # class and box target stay consistent even when its max-IoU gt is a
     # different one.
     matched_idx = jnp.where(is_best, winner_gt, best_gt_idx)
-    matched_gt = gt[:, :4][matched_idx]
+    matched_gt = gather_rows(gt[:, :4], matched_idx)
     bbox_targets = encode(props, matched_gt, variances=variances)
     bbox_targets = jnp.where((labels > 0)[:, None], bbox_targets, 0.0)
 

@@ -19,20 +19,21 @@ import jax
 import jax.numpy as jnp
 
 from luminoth_tpu.ops.boxes import encode, iou_matrix
+from luminoth_tpu.ops.select import gather_rows, top_k_mask
 
 
 def _keep_random_quota(candidate_mask, quota, key):
     """Keep at most ``quota`` True entries, chosen uniformly at random.
 
     Returns the pruned mask. Entries beyond the quota are dropped by ranking
-    candidates with random priorities (rank computed via argsort-of-argsort).
+    candidates with random priorities (top-quota selection via
+    ``ops.select.top_k_mask`` — one value-only sort, not two variadic
+    argsorts).
     """
     n = candidate_mask.shape[0]
     priorities = jax.random.uniform(key, (n,))
     masked = jnp.where(candidate_mask, priorities, -1.0)
-    order = jnp.argsort(-masked, stable=True)
-    ranks = jnp.argsort(order, stable=True)
-    return candidate_mask & (ranks < quota)
+    return candidate_mask & top_k_mask(masked, quota)
 
 
 def rpn_target_assign(
@@ -118,7 +119,9 @@ def rpn_target_assign(
     labels = jnp.where(bg_mask & ~bg_kept, -1.0, labels)
 
     # Regression targets against each anchor's best gt (fg only).
-    matched_gt = gt[:, :4][argmax_gt]
+    # gather_rows: tiny-table dynamic gathers are a measured multi-ms
+    # TPU cost at (A,) scale.
+    matched_gt = gather_rows(gt[:, :4], argmax_gt)
     bbox_targets = encode(anchors, matched_gt)
     bbox_targets = jnp.where((labels == 1.0)[:, None], bbox_targets, 0.0)
 

@@ -5,16 +5,17 @@ reference: luminoth/models/ssd/target.py:35-200. Static-shape redesign:
 * Labels live in a dense (A,) array: -1 = ignore, 0 = background (selected by
   hard mining), 1..C = foreground class. No boolean_mask — the loss consumes
   label masks instead.
-* The dynamic ``top_k(k=3*num_fg)`` hard-negative selection becomes a rank
-  computation: argsort-of-argsort gives each candidate background its rank by
-  "worst background" score, and ``rank < 3*num_fg`` selects — identical
-  semantics with static shapes.
+* The dynamic ``top_k(k=3*num_fg)`` hard-negative selection becomes a
+  static-shape top-k mask (``ops.select.top_k_mask``: one value-only sort +
+  threshold + tie fill) — identical semantics, ~3x cheaper on TPU than the
+  earlier argsort-of-argsort rank formulation it replaces.
 * Ground truth arrives padded: (G, 5) with label < 0 marking padding rows.
 """
 
 import jax.numpy as jnp
 
 from luminoth_tpu.ops.boxes import encode, iou_matrix
+from luminoth_tpu.ops.select import gather_rows, top_k_mask
 
 
 def ssd_target_assign(
@@ -58,8 +59,10 @@ def ssd_target_assign(
 
     anchors_label = jnp.full((num_anchors,), -1.0)
 
-    # Foreground by IoU threshold.
-    best_fg_labels = gt[:, 4][best_gt_for_anchor] + 1.0
+    # Foreground by IoU threshold. (G,)-table lookups go through
+    # gather_rows — XLA's dynamic gather from a tiny table is a
+    # measured multi-ms cost at (A,) scale on TPU.
+    best_fg_labels = gather_rows(gt[:, 4], best_gt_for_anchor) + 1.0
     iou_is_fg = max_overlaps >= foreground_threshold
     anchors_label = jnp.where(iou_is_fg, best_fg_labels, anchors_label)
 
@@ -79,7 +82,7 @@ def ssd_target_assign(
     winner_gt = (num_gt - 1) - jnp.argmax(claim[::-1], axis=0)  # (A,) last claiming gt
     claimed = jnp.any(claim, axis=0)  # (A,)
     anchors_label = jnp.where(
-        claimed, gt[:, 4][winner_gt] + 1.0, anchors_label
+        claimed, gather_rows(gt[:, 4], winner_gt) + 1.0, anchors_label
     )
 
     # Online hard negative mining: strongest-scoring backgrounds first.
@@ -92,16 +95,14 @@ def ssd_target_assign(
     num_fg = jnp.sum(anchors_label > 0)
     num_bg = (num_fg.astype(jnp.float32) * hard_negative_ratio).astype(jnp.int32)
 
-    order = jnp.argsort(-mining_scores, stable=True)
-    ranks = jnp.argsort(order, stable=True)  # rank of each anchor by score
-    set_bg = (ranks < num_bg) & (mining_scores > -1.0)
+    set_bg = top_k_mask(mining_scores, num_bg) & (mining_scores > -1.0)
     anchors_label = jnp.where(set_bg, 0.0, anchors_label)
 
     # Box targets for foreground anchors only. A claimed anchor regresses
     # toward its claiming gt so its class and box target stay consistent
     # even when its max-IoU gt is a different one.
     matched_idx = jnp.where(claimed, winner_gt, best_gt_for_anchor)
-    matched_gt = gt[:, :4][matched_idx]  # (A, 4)
+    matched_gt = gather_rows(gt[:, :4], matched_idx)  # (A, 4)
     bbox_targets = encode(anchors, matched_gt, variances=variances)
     bbox_targets = jnp.where(
         (anchors_label > 0)[:, None], bbox_targets, 0.0
