@@ -64,20 +64,12 @@ def rcnn_target_assign(
     max_overlaps = jnp.where(jnp.any(gt_valid), max_overlaps, 0.0)
     best_gt_idx = jnp.argmax(overlaps, axis=1)
 
-    labels = jnp.full((num_proposals,), -1.0)
-
     bg_cond = (
         (max_overlaps >= background_threshold_low)
         & (max_overlaps < background_threshold_high)
         & proposals_valid
     )
-    labels = jnp.where(bg_cond, 0.0, labels)
-
-    # (G,)-table lookups via gather_rows: XLA's dynamic gather from
-    # a tiny table is a measured multi-ms TPU cost at (P,) scale.
-    best_fg_labels = gather_rows(gt[:, 4], best_gt_idx) + 1.0
     iou_is_fg = (max_overlaps >= foreground_threshold) & proposals_valid
-    labels = jnp.where(iou_is_fg, best_fg_labels, labels)
 
     # The single best proposal for each gt gets its class (priority). A
     # column that is all -1 means no valid proposal overlapped this gt at
@@ -100,8 +92,19 @@ def rcnn_target_assign(
     num_gt = claim.shape[0]
     winner_gt = (num_gt - 1) - jnp.argmax(claim[::-1], axis=0)  # (P,) last claiming gt
     is_best = jnp.any(claim, axis=0)  # (P,)
+
+    # One fused (G,5)-table lookup covers the class labels and the box
+    # targets: matched_idx is the winner gt for best-claimed proposals
+    # (override priority) and the best-IoU gt otherwise — exactly the
+    # row each label branch would have gathered. gather_rows: XLA's
+    # dynamic gather from a tiny table is a measured multi-ms TPU cost
+    # at (P,) scale; one one-hot contraction replaces three.
+    matched_idx = jnp.where(is_best, winner_gt, best_gt_idx)
+    matched_gt = gather_rows(gt[:, :5], matched_idx)  # (P, 5)
     labels = jnp.where(
-        is_best, gather_rows(gt[:, 4], winner_gt) + 1.0, labels
+        is_best | iou_is_fg,
+        matched_gt[:, 4] + 1.0,
+        jnp.where(bg_cond, 0.0, -1.0),
     )
 
     # Subsample: at most max_fg positives, then fill with backgrounds.
@@ -119,10 +122,8 @@ def rcnn_target_assign(
 
     # A best-claimed proposal regresses toward its claiming gt so its
     # class and box target stay consistent even when its max-IoU gt is a
-    # different one.
-    matched_idx = jnp.where(is_best, winner_gt, best_gt_idx)
-    matched_gt = gather_rows(gt[:, :4], matched_idx)
-    bbox_targets = encode(props, matched_gt, variances=variances)
+    # different one (same matched_gt rows as the label pass above).
+    bbox_targets = encode(props, matched_gt[:, :4], variances=variances)
     bbox_targets = jnp.where((labels > 0)[:, None], bbox_targets, 0.0)
 
     return labels, bbox_targets

@@ -57,14 +57,7 @@ def ssd_target_assign(
     max_overlaps = jnp.max(overlaps, axis=1)
     best_gt_for_anchor = jnp.argmax(overlaps, axis=1)  # (A,)
 
-    anchors_label = jnp.full((num_anchors,), -1.0)
-
-    # Foreground by IoU threshold. (G,)-table lookups go through
-    # gather_rows — XLA's dynamic gather from a tiny table is a
-    # measured multi-ms cost at (A,) scale on TPU.
-    best_fg_labels = gather_rows(gt[:, 4], best_gt_for_anchor) + 1.0
     iou_is_fg = max_overlaps >= foreground_threshold
-    anchors_label = jnp.where(iou_is_fg, best_fg_labels, anchors_label)
 
     # Best-anchor-per-gt override (highest priority). Formulated as a
     # dense claim matrix rather than a scatter: duplicate-index scatter
@@ -81,8 +74,18 @@ def ssd_target_assign(
     num_gt = claim.shape[0]
     winner_gt = (num_gt - 1) - jnp.argmax(claim[::-1], axis=0)  # (A,) last claiming gt
     claimed = jnp.any(claim, axis=0)  # (A,)
+
+    # One fused (G,5)-table lookup covers both the class labels and the
+    # box targets: matched_idx is the winner gt for claimed anchors
+    # (override priority) and the best-IoU gt otherwise — exactly the
+    # row whose label each branch above would have gathered. A single
+    # gather_rows pays one one-hot contraction instead of three; XLA's
+    # dynamic gather from a tiny table is a measured multi-ms cost at
+    # (A,) scale on TPU.
+    matched_idx = jnp.where(claimed, winner_gt, best_gt_for_anchor)
+    matched_gt = gather_rows(gt[:, :5], matched_idx)  # (A, 5)
     anchors_label = jnp.where(
-        claimed, gather_rows(gt[:, 4], winner_gt) + 1.0, anchors_label
+        claimed | iou_is_fg, matched_gt[:, 4] + 1.0, -1.0
     )
 
     # Online hard negative mining: strongest-scoring backgrounds first.
@@ -100,10 +103,9 @@ def ssd_target_assign(
 
     # Box targets for foreground anchors only. A claimed anchor regresses
     # toward its claiming gt so its class and box target stay consistent
-    # even when its max-IoU gt is a different one.
-    matched_idx = jnp.where(claimed, winner_gt, best_gt_for_anchor)
-    matched_gt = gather_rows(gt[:, :4], matched_idx)  # (A, 4)
-    bbox_targets = encode(anchors, matched_gt, variances=variances)
+    # even when its max-IoU gt is a different one (same matched_gt rows
+    # as the label pass above).
+    bbox_targets = encode(anchors, matched_gt[:, :4], variances=variances)
     bbox_targets = jnp.where(
         (anchors_label > 0)[:, None], bbox_targets, 0.0
     )

@@ -43,13 +43,12 @@ def gather_rows(table, idx):
     HIGHEST precision, so each output is the untouched table value.
     """
     num_rows = table.shape[0]
-    onehot = (idx[:, None] == jnp.arange(num_rows)[None, :]).astype(
-        table.dtype if jnp.issubdtype(table.dtype, jnp.floating)
-        else jnp.float32
-    )
+    dtype = (table.dtype if jnp.issubdtype(table.dtype, jnp.floating)
+             else jnp.float32)
+    onehot = jax.nn.one_hot(idx, num_rows, dtype=dtype)
     out = jnp.matmul(
         onehot,
-        table.astype(onehot.dtype),
+        table.astype(dtype),
         precision=jax.lax.Precision.HIGHEST,
     )
     return out.astype(table.dtype)
@@ -60,11 +59,18 @@ def top_k_mask(scores, k):
 
     Ties at the selection boundary are broken by ascending index —
     bit-identical to ``argsort(argsort(-scores, stable), stable) < k``
-    for any float scores (no NaNs) and any traced integer ``k``
-    (clamped to [0, n]).
+    for NaN-free scores that don't mix -0.0 and +0.0, and any traced
+    integer ``k`` (clamped to [0, n]). Signed zeros are canonicalized
+    to +0.0 first and treated as one tie group broken by index — the
+    sort's total order ranks -0.0 below +0.0 while the threshold
+    comparisons below use IEEE equality, and the rank formulation's
+    own ±0.0 ordering is itself backend-total-order territory, so a
+    defined index tiebreak is the only portable semantic. No call
+    site produces -0.0 (softmax probs, uniform priorities).
     """
     n = scores.shape[0]
     k = jnp.clip(k, 0, n)
+    scores = jnp.where(scores == 0.0, 0.0, scores)  # -0.0 -> +0.0
     sorted_vals = jax.lax.sort(scores)  # ascending, values only
     kth = sorted_vals[jnp.clip(n - k, 0, n - 1)]  # k-th largest
     greater = scores > kth

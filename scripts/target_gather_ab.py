@@ -12,10 +12,13 @@ SSD, RPN, RCNN):
 
 Cross-process timings vary with the tunnel attachment (STATUS.md r5
 note 6), so this script measures OLD and NEW in one process: the
-isolated SSD target stage, then the full SSD and FRCNN train steps with
-the old formulation monkeypatched in and out.
+isolated SSD target stage, then the full SSD train step with the old
+formulation monkeypatched into the model module and back out.
+``--frcnn`` additionally measures the shipped FRCNN train step
+(~600 s cold compile, no old-side patch — its target stages are
+2.9+1.0 ms of a ~136 ms step, below the cross-run noise floor).
 
-Usage: python scripts/target_gather_ab.py
+Usage: python scripts/target_gather_ab.py [--frcnn]
 """
 import json
 import os
@@ -130,12 +133,34 @@ def bench_stage():
     return t_old, t_new, same
 
 
-def bench_train(family):
+def bench_ssd_train_both():
+    """Full SSD train step, old formulation monkeypatched in and out.
+
+    ``models/ssd/model.py`` binds ``ssd_target_assign`` by from-import,
+    so the patch targets the model module's reference. Each variant is
+    a distinct traced computation (different jaxprs), so the persistent
+    compile cache cannot cross-serve them.
+    """
     import bench
-    fn = (bench.bench_ssd_train if family == "ssd"
-          else bench.bench_frcnn_train)
-    r = fn()
-    print(f"{family} train step (shipped): "
+    new = bench.bench_ssd_train()
+    print(f"ssd train step NEW (shipped): "
+          f"{new['images_per_sec']} img/s, {new['step_ms']} ms",
+          flush=True)
+    ssd_model_mod.ssd_target_assign = old_ssd_target_assign
+    try:
+        old = bench.bench_ssd_train()
+    finally:
+        ssd_model_mod.ssd_target_assign = ssd_target_mod.ssd_target_assign
+    print(f"ssd train step OLD (patched):  "
+          f"{old['images_per_sec']} img/s, {old['step_ms']} ms",
+          flush=True)
+    return old, new
+
+
+def bench_frcnn_train():
+    import bench
+    r = bench.bench_frcnn_train()
+    print(f"frcnn train step (shipped): "
           f"{r['images_per_sec']} img/s, {r['step_ms']} ms", flush=True)
     return r
 
@@ -144,8 +169,11 @@ def main():
     t_old, t_new, same = bench_stage()
     results = {"stage_old_ms": t_old, "stage_new_ms": t_new,
                "identical": same}
-    results["ssd_train"] = bench_train("ssd")
-    results["frcnn_train"] = bench_train("frcnn")
+    old, new = bench_ssd_train_both()
+    results["ssd_train_old"] = old
+    results["ssd_train_new"] = new
+    if "--frcnn" in sys.argv:  # ~600 s cold compile; opt-in
+        results["frcnn_train"] = bench_frcnn_train()
     print(json.dumps(results), flush=True)
 
 

@@ -102,3 +102,16 @@ class TestGatherRows:
         got = jax.jit(jax.vmap(gather_rows))(tables, idxs)
         want = jax.vmap(lambda t, i: t[i])(tables, idxs)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_signed_zero_boundary():
+    # ±0.0 at the selection boundary: canonicalized to one tie group,
+    # broken by ascending index (the rank formulation's ±0.0 order is
+    # backend total-order territory — see the op docstring).
+    scores = jnp.asarray([-0.0, +0.0, -1.0], jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(top_k_mask(scores, 1)), [True, False, False]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(top_k_mask(scores, 2)), [True, True, False]
+    )
