@@ -386,3 +386,54 @@ class TestCLITree:
         assert result.exit_code == 0
         result = runner.invoke(cli, ["checkpoint", "--help"])
         assert result.exit_code == 0
+
+
+class TestCloudTrainReuse:
+    def test_existing_tpu_is_reused_not_recreated(self, monkeypatch):
+        """Re-submitting with the same --name (the documented resume
+        flow) must probe with `describe` and skip `create` when the TPU
+        is live — `create` errors on an existing TPU."""
+        import importlib
+
+        tpu_mod = importlib.import_module("luminoth_tpu.tools.cloud.tpu")
+        calls = []
+
+        def fake_run(cmd, dry_run=False, stream=False):
+            calls.append(cmd)
+            return None
+
+        monkeypatch.setattr(tpu_mod, "_run", fake_run)
+        result = CliRunner().invoke(
+            tpu_mod.tpu,
+            ["train", "--name", "j", "-c", "gs://b/cfg.yml"],
+        )
+        assert result.exit_code == 0, result.output
+        verbs = [c[4] for c in calls if c[:4] ==
+                 ["gcloud", "compute", "tpus", "tpu-vm"]]
+        assert "describe" in verbs
+        assert "create" not in verbs  # describe succeeded -> reuse
+        assert "reusing" in result.output
+
+    def test_absent_tpu_is_created(self, monkeypatch):
+        import importlib
+
+        import click as click_mod
+
+        tpu_mod = importlib.import_module("luminoth_tpu.tools.cloud.tpu")
+        calls = []
+
+        def fake_run(cmd, dry_run=False, stream=False):
+            calls.append(cmd)
+            if len(cmd) > 4 and cmd[4] == "describe":
+                raise click_mod.ClickException("not found")
+            return None
+
+        monkeypatch.setattr(tpu_mod, "_run", fake_run)
+        result = CliRunner().invoke(
+            tpu_mod.tpu,
+            ["train", "--name", "j", "-c", "gs://b/cfg.yml"],
+        )
+        assert result.exit_code == 0, result.output
+        verbs = [c[4] for c in calls if c[:4] ==
+                 ["gcloud", "compute", "tpus", "tpu-vm"]]
+        assert verbs.index("describe") < verbs.index("create")
